@@ -43,13 +43,15 @@ def test_schedule_tables_closed_form():
     np.testing.assert_allclose(np.asarray(s.alphas_cumprod_prev), acp_prev, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(s.sqrt_recip_alphas), np.sqrt(1 / alphas), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(s.sqrt_alphas_cumprod), np.sqrt(acp), rtol=1e-5)
+    # 1 - acp suffers fp32 cancellation at small t (acp ~ 1 - 1e-4), so the
+    # fp64 oracle can differ by ~eps/1e-4 ~ 6e-4 relative there.
     np.testing.assert_allclose(
-        np.asarray(s.sqrt_one_minus_alphas_cumprod), np.sqrt(1 - acp), rtol=1e-5
+        np.asarray(s.sqrt_one_minus_alphas_cumprod), np.sqrt(1 - acp), rtol=2e-3
     )
     np.testing.assert_allclose(
         np.asarray(s.posterior_variance),
         betas * (1 - acp_prev) / (1 - acp),
-        rtol=1e-4,
+        rtol=2e-3,
     )
     assert s.timesteps == T
 
