@@ -145,8 +145,19 @@ class MelSpectrogram:
         cfg = self.config
         frames = self._frame(waveform.astype(jnp.float32))
         if cfg.method == "matmul":
-            re = jnp.einsum("btn,nf->btf", frames, jnp.asarray(self._cos))
-            im = jnp.einsum("btn,nf->btf", frames, jnp.asarray(self._sin))
+            # HIGHEST precision: the 2048-term DFT dots cancel heavily for
+            # broadband input; default (bf16-ish on TPU) precision is not
+            # enough for parity with the FFT path.
+            import jax
+
+            re = jnp.einsum(
+                "btn,nf->btf", frames, jnp.asarray(self._cos),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            im = jnp.einsum(
+                "btn,nf->btf", frames, jnp.asarray(self._sin),
+                precision=jax.lax.Precision.HIGHEST,
+            )
         else:
             frames = frames * jnp.asarray(self._window)
             spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)

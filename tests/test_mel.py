@@ -1,0 +1,133 @@
+"""Golden-value tests for the mel front-end against torch.stft (the same
+native STFT kernel torchaudio's MelSpectrogram wraps) plus closed-form
+filterbank checks, per the test strategy in SURVEY.md §4."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from diffroll_tpu.dsp.mel import (
+    MelConfig,
+    MelSpectrogram,
+    hann_window,
+    hz_to_mel_htk,
+    mel_filterbank,
+    mel_to_hz_htk,
+    log_mel,
+    trim_frames,
+)
+
+CFG = MelConfig()  # the config/spec/mel.yaml values
+
+
+def _torch_power_spec(wav: np.ndarray, cfg: MelConfig) -> np.ndarray:
+    """Oracle: torch.stft with torchaudio MelSpectrogram's settings
+    (center/reflect, periodic hann, onesided) + normalized=True scaling."""
+    x = torch.from_numpy(wav)
+    win = torch.hann_window(cfg.n_fft, periodic=True, dtype=torch.float32)
+    spec = torch.stft(
+        x,
+        n_fft=cfg.n_fft,
+        hop_length=cfg.hop_length,
+        window=win,
+        center=True,
+        pad_mode="reflect",
+        normalized=False,
+        onesided=True,
+        return_complex=True,
+    )
+    power = spec.abs() ** 2  # (B, n_freqs, n_frames)
+    if cfg.normalized:
+        power = power / win.pow(2).sum()
+    return power.transpose(1, 2).numpy()  # -> (B, n_frames, n_freqs)
+
+
+def test_hann_window_matches_torch():
+    np.testing.assert_allclose(
+        hann_window(2048),
+        torch.hann_window(2048, periodic=True).numpy(),
+        atol=3e-7,  # one fp32 ulp: torch evaluates cos in a different order
+    )
+
+
+def test_htk_mel_roundtrip():
+    f = np.array([0.0, 440.0, 8000.0])
+    np.testing.assert_allclose(mel_to_hz_htk(hz_to_mel_htk(f)), f, rtol=1e-10)
+    # known anchor: 1000 Hz ~ 1000 mel in the HTK scale
+    assert abs(hz_to_mel_htk(1000.0) - 999.99) < 0.1
+
+
+def test_filterbank_shape_and_support():
+    fb = mel_filterbank(CFG.n_freqs, 0.0, 8000.0, CFG.n_mels, CFG.sample_rate)
+    assert fb.shape == (1025, 229)
+    assert np.all(fb >= 0)
+    # no energy above f_max=8000Hz == nyquist here, every filter nonempty
+    assert np.all(fb.sum(axis=0) > 0)
+    # each filter peaks at <= 1 (norm=None triangular)
+    assert fb.max() <= 1.0 + 1e-6
+    # filter centers are monotonically increasing in frequency
+    centers = fb.argmax(axis=0)
+    assert np.all(np.diff(centers.astype(int)) >= 0)
+
+
+@pytest.mark.parametrize("method", ["fft", "matmul"])
+def test_power_spectrogram_matches_torch_stft(method):
+    rng = np.random.default_rng(0)
+    wav = rng.normal(size=(2, 16000)).astype(np.float32)
+    cfg = MelConfig(method=method)
+    mel = MelSpectrogram(cfg)
+    got = np.asarray(mel.power_spectrogram(jnp.asarray(wav)))
+    want = _torch_power_spec(wav, cfg)
+    assert got.shape == want.shape == (2, 16000 // 512 + 1, 1025)
+    # compare in the log domain the model consumes: tiny power bins carry
+    # large relative fp32 error but are irrelevant after log(x + 1e-6)
+    np.testing.assert_allclose(
+        np.log(got + 1e-6), np.log(want + 1e-6), rtol=1e-4, atol=5e-3
+    )
+
+
+def test_frame_count_for_reference_clip():
+    # 327,680 samples @ hop 512 center=True -> 641 frames
+    # (reference trims to the 640-frame roll, model/diffwave.py:30-39)
+    assert CFG.num_frames(327680) == 641
+
+
+def test_mel_spectrogram_end_to_end_sine():
+    """A pure 440 Hz tone concentrates mel energy at the right filter."""
+    sr = CFG.sample_rate
+    t = np.arange(2 * sr) / sr
+    wav = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)[None]
+    mel = MelSpectrogram(CFG)
+    out = np.asarray(mel(jnp.asarray(wav)))
+    assert out.shape == (1, 2 * sr // 512 + 1, 229)
+    # peak mel bin should correspond to ~440 Hz
+    peak_bin = out.mean(axis=1)[0].argmax()
+    fb = mel_filterbank(CFG.n_freqs, 0.0, 8000.0, CFG.n_mels, sr)
+    freqs = np.linspace(0, sr / 2, CFG.n_freqs)
+    peak_freq = freqs[fb[:, peak_bin].argmax()]
+    assert abs(peak_freq - 440.0) < 60.0
+
+
+def test_fft_and_matmul_paths_agree():
+    rng = np.random.default_rng(1)
+    wav = rng.normal(size=(1, 32768)).astype(np.float32)
+    a = np.asarray(MelSpectrogram(MelConfig(method="fft"))(jnp.asarray(wav)))
+    b = np.asarray(MelSpectrogram(MelConfig(method="matmul"))(jnp.asarray(wav)))
+    np.testing.assert_allclose(
+        np.log(a + 1e-6), np.log(b + 1e-6), rtol=1e-4, atol=5e-3
+    )
+
+
+def test_log_mel_floor():
+    out = np.asarray(log_mel(jnp.zeros((1, 4, 229))))
+    np.testing.assert_allclose(out, np.log(1e-6), rtol=1e-5)
+
+
+def test_trim_frames():
+    roll = jnp.zeros((2, 640, 88))
+    spec = jnp.zeros((2, 641, 229))
+    r, s = trim_frames(roll, spec)
+    assert r.shape == (2, 640, 88)
+    assert s.shape == (2, 640, 229)
