@@ -1,0 +1,195 @@
+"""Model wrapper: config + pure functional forward, composing the denoiser
+net with its DSP front-end.
+
+The reference fuses net/task/DSP in one LightningModule hierarchy
+(reference model/diffwave.py:283, 579: model subclasses the task). Here a
+`DiffRollModel` is a thin, stateless bundle of
+  * a `DiffRollConfig` (mirrors the reference's model yaml args),
+  * a flax net (`DiffRollNet` / `DiffRollNet2D`),
+  * the conditioning pipeline (mel front-end etc.),
+and the diffusion/task logic lives in `diffroll_tpu.tasks`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..dsp.mel import MelConfig, MelSpectrogram
+from ..dsp.normalize import min_max_normalize
+from ..nn.denoiser import DiffRollNet, DiffRollNet2D
+from . import conditioning
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffRollConfig:
+    """Union of the reference model yaml knobs (config/model/*.yaml)."""
+
+    name: str = "ClassifierFreeDiffRoll"
+    variant: str = "1d"              # '1d' | '2d'
+    cond_source: str = "spec"        # 'spec' | 'roll' (debug) | 'none'
+    residual_channels: int = 512
+    residual_layers: int = 15
+    kernel_size: int = 3
+    dilation_base: int = 2
+    dilation_bound: int = 4
+    condition: str = "fixed"         # 'fixed' | 'trainable_spec' | 'trainable_z'
+    unconditional: bool = False
+    spec_dropout: float = 0.1
+    # (min, max, mode) applied to the *roll* before diffusion
+    # (reference model/diffwave.py:634 + task/diffusion.py:653)
+    norm_args: Tuple[float, float, str] = (0.0, 1.0, "imagewise")
+    # how the log-mel conditioner is normalized:
+    #   'unit'      -> min-max to [0,1] (ClassifierFreeDiffRoll, :632)
+    #   'norm_args' -> min-max to norm_args range (DiffRoll, :312)
+    #   'none'      -> raw log-mel (DiffRollv2, :383-385)
+    spec_norm: str = "unit"
+    n_mels: int = 229
+    timesteps: int = 200
+    frames: int = 640
+    pitches: int = 88
+    mel: MelConfig = MelConfig()
+    dtype: Any = jnp.float32
+
+    def replace(self, **kw) -> "DiffRollConfig":
+        return dataclasses.replace(self, **kw)
+
+
+class DiffRollModel:
+    """Stateless functional model. All methods take explicit params/keys."""
+
+    def __init__(self, config: DiffRollConfig):
+        self.config = config
+        c = config
+        if c.variant == "1d":
+            self.net = DiffRollNet(
+                residual_channels=c.residual_channels,
+                residual_layers=c.residual_layers,
+                kernel_size=c.kernel_size,
+                dilation_base=c.dilation_base,
+                dilation_bound=c.dilation_bound,
+                max_steps=c.timesteps,
+                out_features=c.pitches,
+                unconditional=c.unconditional,
+                condition=c.condition,
+                spec_frames=c.mel.num_frames(
+                    c.frames * c.mel.hop_length
+                ),
+                n_mels=c.n_mels,
+            )
+        elif c.variant == "2d":
+            self.net = DiffRollNet2D(
+                residual_channels=c.residual_channels,
+                residual_layers=c.residual_layers,
+                kernel_size=c.kernel_size,
+                dilation_base=c.dilation_base,
+                dilation_bound=c.dilation_bound,
+                max_steps=c.timesteps,
+                out_features=c.pitches,
+                unconditional=c.unconditional,
+                project_cond=(c.cond_source == "spec"),
+            )
+        else:
+            raise ValueError(f"unknown variant {c.variant!r}")
+        self.mel = MelSpectrogram(c.mel) if c.cond_source == "spec" else None
+
+    # ---- parameters ------------------------------------------------------
+
+    def init(self, key: jax.Array) -> Any:
+        c = self.config
+        x = jnp.zeros((1, c.frames, c.pitches), c.dtype)
+        t = jnp.zeros((1,), jnp.int32)
+        cond = self._dummy_cond()
+        mask = jnp.zeros((1,), bool) if cond is not None else None
+        return self.net.init(key, x, t, cond, mask)
+
+    def _dummy_cond(self) -> Optional[jnp.ndarray]:
+        c = self.config
+        if c.cond_source == "spec":
+            return jnp.zeros((1, c.frames, c.n_mels), c.dtype)
+        if c.cond_source == "roll":
+            return jnp.zeros((1, c.frames, c.pitches), c.dtype)
+        return None
+
+    # ---- data plumbing ---------------------------------------------------
+
+    def normalize_roll(self, roll: jnp.ndarray) -> jnp.ndarray:
+        """Min-max the (B, T, 88) roll to norm_args range
+        (reference task/diffusion.py:653 via model/diffwave.py:634)."""
+        lo, hi, mode = self.config.norm_args
+        return min_max_normalize(roll, lo, hi, mode)
+
+    def conditioner(
+        self,
+        waveform: Optional[jnp.ndarray] = None,
+        roll: Optional[jnp.ndarray] = None,
+        inpainting_t: Optional[Sequence[int]] = None,
+        inpainting_f: Optional[Sequence[int]] = None,
+    ) -> Optional[jnp.ndarray]:
+        """Build the (B, T, n_cond) conditioner from raw inputs.
+
+        Computed once per clip and reused across all sampler steps (the
+        reference recomputes it inside every forward).
+        """
+        c = self.config
+        if c.cond_source == "none" or c.unconditional:
+            return None
+        if c.cond_source == "roll":
+            cond = roll
+        else:
+            if c.spec_norm == "unit":
+                rng: Optional[Tuple[float, float]] = (0.0, 1.0)
+                mode = c.norm_args[2]
+            elif c.spec_norm == "norm_args":
+                rng = (c.norm_args[0], c.norm_args[1])
+                mode = c.norm_args[2]
+            elif c.spec_norm == "none":
+                rng, mode = None, "imagewise"
+            else:
+                raise ValueError(f"unknown spec_norm {c.spec_norm!r}")
+            cond = conditioning.compute_spec(self.mel, waveform, rng, mode)
+            cond = conditioning.trim_to(c.frames, cond)
+        return conditioning.apply_inpainting_mask(cond, inpainting_t, inpainting_f)
+
+    # ---- forward ---------------------------------------------------------
+
+    def apply(
+        self,
+        params: Any,
+        x_t: jnp.ndarray,
+        t: jnp.ndarray,
+        cond: Optional[jnp.ndarray],
+        uncond_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Denoiser forward: (B, T, 88) x (B,) x (B, T, n_cond) -> (B, T, 88)."""
+        return self.net.apply(params, x_t, t, cond, uncond_mask)
+
+    def apply_cfg(
+        self,
+        params: Any,
+        x_t: jnp.ndarray,
+        t: jnp.ndarray,
+        cond: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Both classifier-free-guidance branches in ONE forward of 2B.
+
+        The reference runs two sequential forwards per step (reference
+        task/diffusion.py:951-952); batching them doubles MXU utilisation
+        per launch and halves per-step latency at small B.
+        """
+        b = x_t.shape[0]
+        x2 = jnp.concatenate([x_t, x_t], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0) if t.ndim else jnp.full((2 * b,), t)
+        cond2 = jnp.concatenate([cond, cond], axis=0)
+        mask2 = jnp.concatenate(
+            [jnp.zeros((b,), bool), jnp.ones((b,), bool)], axis=0
+        )
+        out = self.net.apply(params, x2, t2, cond2, mask2)
+        return out[:b], out[b:]
+
+
+def param_count(params: Any) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

@@ -3,12 +3,18 @@ pjit paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-# Must run before jax is imported anywhere in the test process. Force CPU:
-# the ambient environment may pin JAX_PLATFORMS to a hardware backend.
+# Must run before any jax backend is initialised. The ambient environment
+# registers a hardware TPU platform via sitecustomize and pins
+# JAX_PLATFORMS, so the env var alone is not enough — override the config
+# directly as well.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 import pathlib
