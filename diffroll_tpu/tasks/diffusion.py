@@ -1,0 +1,230 @@
+"""Spec-conditioned piano-roll diffusion task: training losses and the
+fully-fused sampling path.
+
+This is the reference's `SpecRollDiffusion` LightningModule
+(reference task/diffusion.py:219-1090) decomposed into pure functions over
+an explicit (model, params, schedule, config) tuple:
+
+  * `loss_fn`       — one training step's losses (reference `step`, :651-763)
+  * `sample`        — the complete reverse process as ONE `lax.scan` inside
+                      one jit (the reference loops in Python with a host
+                      sync per step, :779-788)
+
+Sampler dispatch matches `task.sampling.type` (reference binds the method
+at init, :255): ddpm / ddpm_x0 / ddim / ddim_x0 / ddim2ddpm / cfdg_ddpm_x0 /
+cfdg_ddim_x0 / generation_ddpm_x0 / inpainting_ddpm_x0.
+
+Guidance note: the reference's cfdg_ddim_x0 computes its unconditional
+branch from the mel of a zero waveform instead of the dropout embedding
+(task/diffusion.py:1043 has no `sampling=True` — and it also runs a
+redundant third forward, :1035). We treat both as bugs (SURVEY.md §7) and
+use the same spec:=-1 unconditional branch as cfdg_ddpm_x0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion.forward import extract_x0, q_sample
+from ..diffusion.loop import sample_loop
+from ..diffusion.samplers import SAMPLER_TABLE, cfg_mix
+from ..diffusion.schedule import Schedule, linear_schedule
+from ..models import spec_dropout_mask
+from ..models.base import DiffRollModel
+from .losses import p_losses
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskConfig:
+    """Mirrors the reference task yaml group (config/task/*.yaml)."""
+
+    timesteps: int = 200
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    loss_type: str = "l2"
+    loss_keys: Tuple[str, ...] = ("diffusion_loss",)
+    training_mode: str = "x_0"          # 'x_0' | 'epsilon' | 'ex_0'
+    sampling_type: str = "cfdg_ddpm_x0"
+    w: float = 0.0                      # classifier-free guidance weight
+    frame_threshold: float = 0.5
+    generation_filter: float = 0.0      # min note duration (s) for MIDI export
+    inpainting_t: Optional[Sequence[int]] = None
+    inpainting_f: Optional[Sequence[int]] = None
+    debug: bool = False                 # conditioner := ground-truth roll
+    lr: float = 5e-5
+
+    def replace(self, **kw) -> "TaskConfig":
+        return dataclasses.replace(self, **kw)
+
+
+class DiffusionTask:
+    """Binds a model to the diffusion process. Stateless; params explicit."""
+
+    def __init__(self, model: DiffRollModel, config: TaskConfig = TaskConfig()):
+        self.model = model
+        self.config = config
+        self.schedule: Schedule = linear_schedule(
+            config.beta_start, config.beta_end, config.timesteps
+        )
+        if config.sampling_type not in SAMPLER_TABLE:
+            raise KeyError(
+                f"unknown sampler {config.sampling_type!r}; "
+                f"choices: {sorted(SAMPLER_TABLE)}"
+            )
+
+    # ------------------------------------------------------------- training
+
+    def _conditioner(self, batch: Dict[str, jnp.ndarray], roll: jnp.ndarray):
+        if self.config.debug or self.model.config.cond_source == "roll":
+            return roll
+        return self.model.conditioner(
+            waveform=batch["audio"],
+            inpainting_t=self.config.inpainting_t,
+            inpainting_f=self.config.inpainting_f,
+        )
+
+    def loss_fn(
+        self,
+        params: Any,
+        batch: Any,
+        key: jax.Array,
+        train: bool = True,
+    ) -> Tuple[jnp.ndarray, Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]]:
+        """One step's total loss + (losses dict, tensors dict).
+
+        `batch` is {'frame': (B,640,88), 'audio': (B,L)} or a pair of such
+        dicts for the dual-dataset recipe (reference continue_train_both.py:
+        17-25; step() list branch task/diffusion.py:654-659, 704-715).
+        """
+        cfg = self.config
+        dual = isinstance(batch, (tuple, list))
+        b1 = batch[0] if dual else batch
+
+        roll = self.model.normalize_roll(b1["frame"])
+        bsz = roll.shape[0]
+        t_key, n_key, d_key = jax.random.split(key, 3)
+        t = jax.random.randint(t_key, (bsz,), 0, cfg.timesteps)
+        noise = jax.random.normal(n_key, roll.shape, roll.dtype)
+        x_t = q_sample(roll, t, self.schedule, noise)
+
+        cond = self._conditioner(b1, roll)
+        p = self.model.config.spec_dropout
+        uncond_mask = None
+        if train and p > 0 and cond is not None:
+            uncond_mask = spec_dropout_mask(d_key, bsz, p)
+
+        pred = self.model.apply(params, x_t, t, cond, uncond_mask)
+
+        losses: Dict[str, jnp.ndarray] = {}
+        if cfg.training_mode == "epsilon":
+            losses["diffusion_loss"] = p_losses(noise, pred, cfg.loss_type)
+            pred_roll = extract_x0(x_t, pred, t, self.schedule)
+        elif cfg.training_mode == "x_0":
+            losses["diffusion_loss"] = p_losses(roll, pred, cfg.loss_type)
+            pred_roll = pred
+        elif cfg.training_mode == "ex_0":
+            pred_roll = extract_x0(x_t, pred, t, self.schedule)
+            losses["diffusion_loss"] = p_losses(roll, pred_roll, cfg.loss_type)
+        else:
+            raise ValueError(f"training mode {cfg.training_mode!r} not supported")
+
+        tensors = {"pred_roll": pred_roll, "label_roll": roll, "spec": cond}
+
+        if dual:
+            # second dataset trains the unconditional branch: same t/noise,
+            # spec forced unconditional (reference task/diffusion.py:704-715)
+            b2 = batch[1]
+            roll2 = self.model.normalize_roll(b2["frame"])
+            x_t2 = q_sample(roll2, t, self.schedule, noise)
+            cond2 = self._conditioner(b2, roll2)
+            all_uncond = jnp.ones((bsz,), bool)
+            pred2 = self.model.apply(params, x_t2, t, cond2, all_uncond)
+            losses["unconditional_diffusion_loss"] = p_losses(
+                roll2, pred2, cfg.loss_type
+            )
+            tensors.update(
+                {"pred_roll2": pred2, "label_roll2": roll2, "spec2": cond2}
+            )
+
+        total = sum(losses[k] for k in cfg.loss_keys)
+        return total, (losses, tensors)
+
+    # ------------------------------------------------------------- sampling
+
+    def make_step_fn(self, params: Any, cond: Optional[jnp.ndarray]):
+        """Build the `(x, t, key) -> x_{t-1}` closure for `sample_loop`.
+
+        Prediction plumbing per sampler family:
+          * plain samplers     — one conditional forward
+          * cfdg_* / inpainting — both CFG branches in ONE 2B forward,
+            mixed as (1+w) c - w u (reference task/diffusion.py:953)
+          * generation         — unconditional forward only (:988)
+        """
+        cfg = self.config
+        step_fn, param_kind, guided, _ = SAMPLER_TABLE[cfg.sampling_type]
+        model, schedule = self.model, self.schedule
+        generation = cfg.sampling_type.startswith("generation")
+
+        def predict(x, t_vec):
+            if cond is None or model.config.unconditional:
+                return model.apply(params, x, t_vec, None, None)
+            if generation:
+                all_mask = jnp.ones((x.shape[0],), bool)
+                return model.apply(params, x, t_vec, cond, all_mask)
+            if guided:
+                pc, pu = model.apply_cfg(params, x, t_vec, cond)
+                return cfg_mix(pc, pu, cfg.w)
+            return model.apply(params, x, t_vec, cond, None)
+
+        del param_kind  # the model's output already matches the sampler family
+
+        def step(x, t, key):
+            t_vec = jnp.full((x.shape[0],), t, jnp.int32)
+            pred = predict(x, t_vec)
+            return step_fn(schedule, x, t, pred, key)
+
+        return step
+
+    def sample(
+        self,
+        params: Any,
+        x_T: jnp.ndarray,
+        key: jax.Array,
+        waveform: Optional[jnp.ndarray] = None,
+        roll_cond: Optional[jnp.ndarray] = None,
+        record_every: Optional[int] = None,
+    ):
+        """Full reverse process. Returns (x_0, trajectory or None).
+
+        The conditioner is computed ONCE here and closed over by the scan
+        body — 1 mel evaluation per clip instead of the reference's 400.
+        """
+        cond = None
+        if not self.model.config.unconditional:
+            if self.config.debug or self.model.config.cond_source == "roll":
+                cond = roll_cond
+            elif waveform is not None:
+                cond = self.model.conditioner(
+                    waveform=waveform,
+                    inpainting_t=self.config.inpainting_t,
+                    inpainting_f=self.config.inpainting_f,
+                )
+        step = self.make_step_fn(params, cond)
+        return sample_loop(
+            step, x_T, self.config.timesteps, key, record_every=record_every
+        )
+
+    def sample_jit(self, donate: bool = True):
+        """A jitted (params, x_T, key, waveform) -> x_0 transcription fn."""
+        f = functools.partial(self.sample, record_every=None)
+
+        def run(params, x_T, key, waveform):
+            x0, _ = f(params, x_T, key, waveform=waveform)
+            return x0
+
+        return jax.jit(run, donate_argnums=(1,) if donate else ())
