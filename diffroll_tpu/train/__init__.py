@@ -1,0 +1,13 @@
+"""Training runtime: state, sharded steps, checkpointing."""
+
+from .checkpoint import Checkpointer
+from .state import TrainState, make_optimizer
+from .step import make_eval_step, make_train_step
+
+__all__ = [
+    "TrainState",
+    "make_optimizer",
+    "make_train_step",
+    "make_eval_step",
+    "Checkpointer",
+]

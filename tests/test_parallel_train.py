@@ -1,0 +1,180 @@
+"""Mesh / sharded-train-step / checkpoint tests on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffroll_tpu import models, parallel
+from diffroll_tpu.tasks import DiffusionTask, TaskConfig
+from diffroll_tpu.train import (
+    Checkpointer,
+    TrainState,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+B, T, F, TS = 8, 32, 88, 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = models.build(
+        "ClassifierFreeDiffRoll",
+        residual_channels=8, residual_layers=2, frames=T, timesteps=TS,
+    )
+    params = model.init(jax.random.key(0))
+    task = DiffusionTask(model, TaskConfig(timesteps=TS))
+    batch = {
+        "frame": (jax.random.uniform(jax.random.key(1), (B, T, F)) > 0.9).astype(
+            jnp.float32
+        ),
+        "audio": jax.random.normal(jax.random.key(2), (B, T * 512)),
+    }
+    return model, params, task, batch
+
+
+def test_mesh_shapes():
+    mesh = parallel.make_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    mesh2 = parallel.make_mesh(model=2)
+    assert mesh2.shape["data"] == 4 and mesh2.shape["model"] == 2
+    with pytest.raises(ValueError):
+        parallel.make_mesh(model=3)
+
+
+def test_dp_train_step_on_mesh(setup):
+    model, params, task, batch = setup
+    mesh = parallel.make_mesh()
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(params, tx)
+    state = jax.device_put(
+        state,
+        TrainState(
+            step=parallel.replicated(mesh),
+            params=parallel.param_sharding(mesh, state.params),
+            opt_state=parallel.param_sharding(mesh, state.opt_state),
+        ),
+    )
+    sbatch = parallel.shard_batch(mesh, batch)
+    step = make_train_step(task.loss_fn, tx, mesh=mesh, state_example=state,
+                           donate_state=False)
+    state2, losses = step(state, sbatch, jax.random.key(3))
+    assert int(state2.step) == 1
+    assert np.isfinite(float(losses["diffusion_loss"]))
+    # batch leaves actually sharded over 8 devices
+    assert len(sbatch["frame"].sharding.device_set) == 8
+
+
+def test_dp_matches_single_device(setup):
+    """The mesh step must compute the same update as a single-device step."""
+    model, params, task, batch = setup
+    tx = make_optimizer(1e-3)
+
+    mesh = parallel.make_mesh()
+    state_m = TrainState.create(params, tx)
+    step_m = make_train_step(task.loss_fn, tx, mesh=mesh, state_example=state_m,
+                             donate_state=False)
+    out_m, losses_m = step_m(
+        jax.device_put(
+            state_m,
+            TrainState(
+                step=parallel.replicated(mesh),
+                params=parallel.param_sharding(mesh, state_m.params),
+                opt_state=parallel.param_sharding(mesh, state_m.opt_state),
+            ),
+        ),
+        parallel.shard_batch(mesh, batch),
+        jax.random.key(3),
+    )
+
+    state_s = TrainState.create(params, tx)
+    step_s = make_train_step(task.loss_fn, tx, donate_state=False)
+    out_s, losses_s = step_s(state_s, batch, jax.random.key(3))
+
+    np.testing.assert_allclose(
+        float(losses_m["diffusion_loss"]), float(losses_s["diffusion_loss"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(out_m.params), jax.tree_util.tree_leaves(out_s.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
+def test_tensor_parallel_axis(setup):
+    """model=2 mesh: channel-divisible params shard over 'model'; the step
+    still runs and matches the replicated result."""
+    model, params, task, batch = setup
+    mesh = parallel.make_mesh(model=2)
+    shardings = parallel.param_sharding(mesh, params)
+    sharded_any = any(
+        len(s.spec) > 0 for s in jax.tree_util.tree_leaves(shardings)
+    )
+    assert sharded_any, "expected at least one tensor-parallel param"
+
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(params, tx)
+    state = jax.device_put(
+        state,
+        TrainState(
+            step=parallel.replicated(mesh),
+            params=shardings,
+            opt_state=parallel.param_sharding(mesh, state.opt_state),
+        ),
+    )
+    step = make_train_step(task.loss_fn, tx, mesh=mesh, state_example=state,
+                           donate_state=False)
+    state2, losses = step(state, parallel.shard_batch(mesh, batch), jax.random.key(3))
+    assert np.isfinite(float(losses["diffusion_loss"]))
+
+
+def test_eval_step(setup):
+    model, params, task, batch = setup
+    ev = make_eval_step(task.loss_fn)
+    losses = ev(params, batch, jax.random.key(4))
+    assert np.isfinite(float(losses["diffusion_loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    model, params, task, batch = setup
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(params, tx)
+    ck = Checkpointer(tmp_path / "ckpt", max_to_keep=2)
+    ck.save(0, state, {"model": model.config, "task": task.config})
+    step = make_train_step(task.loss_fn, tx, donate_state=False)
+    state1, _ = step(state, batch, jax.random.key(3))
+    ck.save(1, state1, {"model": model.config, "task": task.config})
+    ck.wait()
+
+    assert ck.latest_step() == 1
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+    )
+    restored, cfg = ck.load(abstract)
+    assert int(restored.step) == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(state1.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert cfg["model"].residual_channels == 8
+    assert cfg["task"].timesteps == TS
+
+    # override-on-load semantics (reference test.py:29-36)
+    _, cfg2 = ck.load(abstract, frame_threshold=0.9, w=1.5)
+    assert cfg2["task"].frame_threshold == 0.9
+    assert cfg2["task"].w == 1.5
+
+
+def test_checkpoint_gc(tmp_path, setup):
+    model, params, task, _ = setup
+    tx = make_optimizer(1e-3)
+    state = TrainState.create(params, tx)
+    ck = Checkpointer(tmp_path / "ckpt", max_to_keep=2)
+    for s in range(4):
+        ck.save(s, state)
+    ck.wait()
+    kept = sorted(p.name for p in (tmp_path / "ckpt").glob("step_*"))
+    assert kept == ["step_000000002", "step_000000003"]
