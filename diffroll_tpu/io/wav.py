@@ -1,0 +1,127 @@
+"""WAV decode/encode + resampling, host-side (numpy).
+
+Replaces torchaudio.load/save + Resample in the data pipeline (reference
+utils/custom_dataset.py:55-62; task/diffusion.py:413-415). Pure stdlib
+`wave` handles 16/24/32-bit PCM and float32 WAVs; resampling is polyphase
+via scipy (MAPS/MAESTRO ship 44.1 kHz audio, the pipeline runs at 16 kHz).
+MP3 decode is delegated to an `ffmpeg` binary when present (the image has
+no Python audio codecs); WAV is the supported native path.
+"""
+
+from __future__ import annotations
+
+import math
+import pathlib
+import shutil
+import struct
+import subprocess
+import tempfile
+import wave
+from typing import Tuple
+
+import numpy as np
+
+
+def read_wav(path: str | pathlib.Path, mono: bool = True) -> Tuple[np.ndarray, int]:
+    """Returns (samples float32 in [-1, 1], sample_rate). (C, L) or (L,) if mono."""
+    path = str(path)
+    with open(path, "rb") as f:
+        riff = f.read(12)
+    if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+        return _read_via_ffmpeg(path, mono)
+
+    try:
+        with wave.open(path, "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(n)
+        if width == 2:
+            x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif width == 4:
+            x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+        elif width == 3:
+            b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+            x = (
+                (b[:, 0].astype(np.int32))
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            x = (x - ((x & 0x800000) << 1)).astype(np.float32) / 8388608.0
+        elif width == 1:
+            x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported sample width {width}")
+    except wave.Error:
+        # float32 WAV (format 3) — stdlib wave rejects it; parse chunks directly
+        x, sr, ch = _read_float_wav(path)
+
+    x = x.reshape(-1, ch).T  # (C, L)
+    if mono:
+        x = x.mean(axis=0)
+    return x, sr
+
+
+def _read_float_wav(path: str):
+    with open(path, "rb") as f:
+        data = f.read()
+    i = 12
+    fmt = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        (size,) = struct.unpack("<I", data[i + 4 : i + 8])
+        body = data[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data" and fmt is not None:
+            audio_format, ch, sr, _, _, bits = fmt
+            if audio_format in (3, 0xFFFE) and bits == 32:
+                x = np.frombuffer(body, "<f4").astype(np.float32)
+            elif audio_format == 1 and bits == 16:
+                x = np.frombuffer(body, "<i2").astype(np.float32) / 32768.0
+            else:
+                raise ValueError(f"unsupported WAV format {audio_format}/{bits}")
+            return x, sr, ch
+        i += 8 + size + (size & 1)
+    raise ValueError(f"{path}: no data chunk")
+
+
+def _read_via_ffmpeg(path: str, mono: bool) -> Tuple[np.ndarray, int]:
+    """Decode non-WAV audio (mp3/flac/...) through an ffmpeg binary."""
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise RuntimeError(
+            f"{path}: not a WAV file and no ffmpeg binary available for decode"
+        )
+    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+        subprocess.run(
+            [ffmpeg, "-y", "-v", "error", "-i", path, "-f", "wav",
+             "-acodec", "pcm_s16le", tmp.name],
+            check=True,
+        )
+        return read_wav(tmp.name, mono=mono)
+
+
+def write_wav(path: str | pathlib.Path, samples: np.ndarray, sample_rate: int) -> None:
+    """float [-1,1] (L,) or (C,L) -> 16-bit PCM WAV."""
+    x = np.asarray(samples, np.float32)
+    if x.ndim == 1:
+        x = x[None]
+    pcm = np.clip(x.T * 32767.0, -32768, 32767).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(x.shape[0])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+
+
+def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling along the last axis (torchaudio.Resample
+    equivalent for the data pipeline)."""
+    if orig_sr == target_sr:
+        return x
+    from scipy.signal import resample_poly
+
+    g = math.gcd(int(orig_sr), int(target_sr))
+    return resample_poly(x, target_sr // g, orig_sr // g, axis=-1).astype(x.dtype)
