@@ -1,0 +1,252 @@
+"""Automatic-music-transcription datasets: MAPS, MAESTRO, and the generic
+paired (audio, MIDI) folder dataset they share.
+
+TPU-native replacement for the external `AudioLoader.music.amt.{MAPS,
+MAESTRO}` package the reference depends on (reference requirements.txt:9;
+ctor contract enumerated in config/dataset/MAPS.yaml / MAESTRO.yaml:
+root, groups, sequence_length, seed, hop_length, min/max_midi, ext_audio,
+sampling_rate, overlap/data_type). Batch contract preserved exactly:
+`__getitem__` -> {'frame': (frames, 88) float32, 'audio': (sequence_length,)
+float32} (consumption: reference task/diffusion.py:652-665).
+
+Design notes (host-side, pure numpy):
+  * audio is decoded once and memo-cached as float32 @ target rate
+    (`preload=True` eagerly, lazily otherwise);
+  * labels come from the paired MIDI (or MAPS .txt) file, rasterized on
+    the fly for the sampled window only;
+  * train mode samples a random `sequence_length` window per __getitem__
+    from a per-epoch seeded RNG (reference datasets pass seed=42);
+    eval mode (`sequence_length=None` or `deterministic=True`) yields the
+    clip head, matching the reference's fixed eval segments.
+
+This environment has no dataset download path (zero egress), so
+`download=True` raises with instructions instead of fetching.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import pathlib
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io.midi import MidiNote, read_midi
+from ..io.wav import read_wav, resample
+from .rasterize import rasterize_notes
+
+
+def _read_maps_txt(path: pathlib.Path) -> List[MidiNote]:
+    """MAPS ships tab-separated `OnsetTime OffsetTime MidiPitch` label files."""
+    notes = []
+    with open(path) as f:
+        reader = csv.reader(f, delimiter="\t")
+        header = next(reader, None)
+        for row in reader:
+            if len(row) < 3:
+                continue
+            notes.append(
+                MidiNote(onset=float(row[0]), offset=float(row[1]),
+                         pitch=int(float(row[2])), velocity=100)
+            )
+    return notes
+
+
+class PairedAudioMidi:
+    """A folder of (audio, label) pairs + windowed sampling."""
+
+    def __init__(
+        self,
+        pairs: Sequence[Tuple[pathlib.Path, pathlib.Path]],
+        sequence_length: Optional[int] = 327680,
+        seed: int = 42,
+        hop_length: int = 512,
+        min_midi: int = 21,
+        max_midi: int = 108,
+        sampling_rate: int = 16000,
+        preload: bool = False,
+        deterministic: bool = False,
+        extend_sustain: bool = True,
+    ):
+        if not pairs:
+            raise FileNotFoundError("dataset resolved to zero (audio, label) pairs")
+        self.pairs = list(pairs)
+        self.sequence_length = sequence_length
+        self.hop_length = hop_length
+        self.min_midi = min_midi
+        self.max_midi = max_midi
+        self.sampling_rate = sampling_rate
+        self.deterministic = deterministic
+        self.extend_sustain = extend_sustain
+        self._rng = np.random.RandomState(seed)
+        self._audio_cache: Dict[int, np.ndarray] = {}
+        self._notes_cache: Dict[int, List[MidiNote]] = {}
+        if preload:
+            for i in range(len(self.pairs)):
+                self._audio(i)
+                self._notes(i)
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def _audio(self, idx: int) -> np.ndarray:
+        if idx not in self._audio_cache:
+            wav_path, _ = self.pairs[idx]
+            x, sr = read_wav(wav_path, mono=True)
+            if sr != self.sampling_rate:
+                x = resample(x, sr, self.sampling_rate)
+            self._audio_cache[idx] = x.astype(np.float32)
+        return self._audio_cache[idx]
+
+    def _notes(self, idx: int) -> List[MidiNote]:
+        if idx not in self._notes_cache:
+            _, label_path = self.pairs[idx]
+            if label_path.suffix.lower() == ".txt":
+                notes = _read_maps_txt(label_path)
+            else:
+                notes = read_midi(str(label_path), extend_sustain=self.extend_sustain)
+            self._notes_cache[idx] = notes
+        return self._notes_cache[idx]
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        audio = self._audio(idx)
+        notes = self._notes(idx)
+        seq = self.sequence_length
+        if seq is None:
+            seq = len(audio) // self.hop_length * self.hop_length
+
+        if len(audio) <= seq:
+            start = 0
+            audio_seg = np.pad(audio, (0, seq - len(audio)))
+        else:
+            if self.deterministic:
+                start = 0
+            else:
+                # align segment starts to the hop grid so roll frames line up
+                max_start = (len(audio) - seq) // self.hop_length
+                start = int(self._rng.randint(0, max_start + 1)) * self.hop_length
+            audio_seg = audio[start : start + seq]
+
+        n_frames = seq // self.hop_length
+        t0 = start / self.sampling_rate
+        shifted = [
+            MidiNote(n.onset - t0, n.offset - t0, n.pitch, n.velocity)
+            for n in notes
+        ]
+        frame, onset = rasterize_notes(
+            shifted, n_frames, self.hop_length, self.sampling_rate,
+            self.min_midi, self.max_midi,
+        )
+        return {"frame": frame, "audio": audio_seg, "onset": onset}
+
+
+def _find_label(audio: pathlib.Path) -> Optional[pathlib.Path]:
+    for suffix in (".mid", ".midi", ".MID", ".txt"):
+        cand = audio.with_suffix(suffix)
+        if cand.exists():
+            return cand
+    return None
+
+
+# MAPS instrument subsets: synthesized ones train, the Disklavier recordings
+# (ENSTDk*) test — the split used by the paper's MAPS protocol.
+_MAPS_TRAIN_SUBSETS = (
+    "AkPnBcht", "AkPnBsdf", "AkPnCGdD", "AkPnStgb",
+    "SptkBGAm", "SptkBGCl", "StbgTGd2",
+)
+_MAPS_TEST_SUBSETS = ("ENSTDkAm", "ENSTDkCl")
+
+
+class MAPS(PairedAudioMidi):
+    """MAPS piano dataset (MUS subset) with the train/test instrument split."""
+
+    def __init__(
+        self,
+        root: str,
+        groups: str = "train",
+        data_type: str = "MUS",
+        download: bool = False,
+        overlap: bool = True,
+        **kw,
+    ):
+        if download:
+            raise RuntimeError(
+                "this environment has no network egress; place MAPS under "
+                f"{root}/MAPS/<subset>/{data_type}/ manually"
+            )
+        del overlap  # eval windows are handled by `deterministic`
+        base = pathlib.Path(root)
+        maps_root = base / "MAPS" if (base / "MAPS").exists() else base
+        subsets = _MAPS_TRAIN_SUBSETS if groups == "train" else _MAPS_TEST_SUBSETS
+        pairs = []
+        for subset in subsets:
+            d = maps_root / subset / data_type
+            if not d.exists():
+                continue
+            for wav in sorted(d.glob("*.wav")):
+                label = _find_label(wav)
+                if label is not None:
+                    pairs.append((wav, label))
+        kw.setdefault("deterministic", groups != "train")
+        # MAPS .txt labels already encode sustain; MIDI labels follow the
+        # same convention as MAESTRO
+        super().__init__(pairs, **kw)
+
+
+class MAESTRO(PairedAudioMidi):
+    """MAESTRO v2/v3 with the official split from the metadata json/csv."""
+
+    def __init__(
+        self,
+        root: str,
+        groups: str = "train",
+        download: bool = False,
+        **kw,
+    ):
+        if download:
+            raise RuntimeError(
+                "this environment has no network egress; place MAESTRO under "
+                f"{root}/maestro-v*/ manually"
+            )
+        base = pathlib.Path(root)
+        candidates = sorted(base.glob("maestro-v*")) or [base]
+        droot = candidates[-1]
+        pairs = self._pairs_from_metadata(droot, groups)
+        if pairs is None:  # no metadata: treat as a flat folder of pairs
+            pairs = []
+            for wav in sorted(droot.rglob("*.wav")):
+                label = _find_label(wav)
+                if label is not None:
+                    pairs.append((wav, label))
+        kw.setdefault("deterministic", groups != "train")
+        super().__init__(pairs, **kw)
+
+    @staticmethod
+    def _pairs_from_metadata(droot: pathlib.Path, groups: str):
+        meta_json = sorted(droot.glob("maestro-v*.json"))
+        meta_csv = sorted(droot.glob("maestro-v*.csv"))
+        entries = None
+        if meta_json:
+            raw = json.loads(meta_json[0].read_text())
+            if isinstance(raw, list):  # v2 layout: list of row dicts
+                entries = raw
+            else:  # v3 layout: dict of column -> {index: value}
+                keys = list(raw["split"].keys())
+                entries = [
+                    {col: raw[col][k] for col in raw} for k in keys
+                ]
+        elif meta_csv:
+            with open(meta_csv[0]) as f:
+                entries = list(csv.DictReader(f))
+        if entries is None:
+            return None
+        pairs = []
+        for e in entries:
+            if e["split"] != groups:
+                continue
+            wav = droot / e["audio_filename"]
+            midi = droot / e["midi_filename"]
+            if wav.exists() and midi.exists():
+                pairs.append((wav, midi))
+        return pairs

@@ -1,0 +1,173 @@
+"""Data-layer tests on synthetic MAPS/MAESTRO trees."""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from diffroll_tpu.data import (
+    Custom,
+    DataLoader,
+    DoubleDataset,
+    MAESTRO,
+    MAPS,
+    collate,
+    rasterize_notes,
+    roll_to_notes,
+)
+from diffroll_tpu.io import write_midi, write_wav
+from diffroll_tpu.io.midi import MidiNote
+
+SR, HOP = 16000, 512
+
+
+def make_clip(path: pathlib.Path, seconds=4.0, notes=None):
+    """Write a wav + midi pair; returns the notes."""
+    n = int(seconds * SR)
+    rng = np.random.RandomState(hash(str(path)) % (2**31))
+    write_wav(path.with_suffix(".wav"), rng.randn(n).astype(np.float32) * 0.1, SR)
+    if notes is None:
+        notes = [
+            (60, 0.5, 1.0), (64, 1.0, 2.0), (67, 2.5, 3.0),
+        ]
+    write_midi(str(path.with_suffix(".mid")),
+               [p for p, _, _ in notes],
+               [(a, b) for _, a, b in notes])
+    return notes
+
+
+@pytest.fixture()
+def maps_tree(tmp_path):
+    for subset in ("AkPnBcht", "ENSTDkAm"):
+        d = tmp_path / "MAPS" / subset / "MUS"
+        d.mkdir(parents=True)
+        for i in range(2):
+            make_clip(d / f"clip{i}")
+    return tmp_path
+
+
+@pytest.fixture()
+def maestro_tree(tmp_path):
+    d = tmp_path / "maestro-v3.0.0" / "2020"
+    d.mkdir(parents=True)
+    rows = {"split": {}, "audio_filename": {}, "midi_filename": {}}
+    for i, split in enumerate(["train", "train", "validation", "test"]):
+        make_clip(d / f"p{i}")
+        rows["split"][str(i)] = split
+        rows["audio_filename"][str(i)] = f"2020/p{i}.wav"
+        rows["midi_filename"][str(i)] = f"2020/p{i}.mid"
+    (tmp_path / "maestro-v3.0.0" / "maestro-v3.0.0.json").write_text(json.dumps(rows))
+    return tmp_path
+
+
+def test_rasterize_roundtrip():
+    notes = [MidiNote(0.5, 1.0, 60, 100), MidiNote(1.0, 2.0, 72, 100)]
+    frame, onset = rasterize_notes(notes, 100, HOP, SR)
+    assert frame.shape == (100, 88)
+    back = roll_to_notes(frame, HOP, SR)
+    assert len(back) == 2
+    assert back[0].pitch == 60 and back[1].pitch == 72
+    assert abs(back[0].onset - 0.5) < HOP / SR + 1e-6
+    # onset roll has exactly one frame per note
+    assert onset.sum() == 2
+
+
+def test_maps_split_and_item(maps_tree):
+    train = MAPS(str(maps_tree), groups="train", sequence_length=SR * 2)
+    test = MAPS(str(maps_tree), groups="test", sequence_length=SR * 2)
+    assert len(train) == 2 and len(test) == 2
+    item = train[0]
+    assert item["audio"].shape == (SR * 2,)
+    assert item["frame"].shape == (SR * 2 // HOP, 88)
+    assert item["frame"].max() <= 1.0
+    # eval split is deterministic
+    a, b = test[0], test[0]
+    np.testing.assert_array_equal(a["audio"], b["audio"])
+
+
+def test_maps_download_raises(maps_tree):
+    with pytest.raises(RuntimeError):
+        MAPS(str(maps_tree), download=True)
+
+
+def test_segment_roll_alignment(tmp_path):
+    """The roll of a random window must equal the matching slice of the
+    full-clip roll (window starts are hop-aligned)."""
+    d = tmp_path / "MAPS" / "AkPnBcht" / "MUS"
+    d.mkdir(parents=True)
+    notes = [(60, 0.1, 3.9), (72, 1.0, 1.5), (84, 2.0, 2.25)]
+    make_clip(d / "clip0", seconds=4.0, notes=notes)
+    ds = MAPS(str(tmp_path), groups="train", sequence_length=SR)  # 1 s windows
+
+    full = MAPS(str(tmp_path), groups="train", sequence_length=None,
+                deterministic=True)
+    full_roll = full[0]["frame"]
+
+    audio_full = full[0]["audio"]
+    for _ in range(5):
+        item = ds[0]
+        # find window start by matching audio content
+        w = item["audio"]
+        # locate: windows are hop-aligned; search candidate starts
+        found = None
+        for start in range(0, len(audio_full) - len(w) + 1, HOP):
+            if np.array_equal(audio_full[start : start + len(w)], w):
+                found = start
+                break
+        assert found is not None
+        f0 = found // HOP
+        np.testing.assert_array_equal(
+            item["frame"], full_roll[f0 : f0 + len(w) // HOP]
+        )
+
+
+def test_maestro_metadata_split(maestro_tree):
+    train = MAESTRO(str(maestro_tree), groups="train", sequence_length=SR)
+    val = MAESTRO(str(maestro_tree), groups="validation", sequence_length=SR)
+    test = MAESTRO(str(maestro_tree), groups="test", sequence_length=SR)
+    assert (len(train), len(val), len(test)) == (2, 1, 1)
+    item = val[0]
+    assert item["frame"].shape == (SR // HOP, 88)
+
+
+def test_custom_dataset(tmp_path):
+    for i in range(3):
+        write_wav(tmp_path / f"song{i}.wav",
+                  np.random.RandomState(i).randn(SR).astype(np.float32) * 0.1, SR)
+    ds = Custom(str(tmp_path), "wav", max_segment_samples=SR * 2, sample_rate=SR)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["audio"].shape == (SR * 2,)  # padded
+    assert item["file_name"] == "song0.wav"
+
+
+def test_double_dataset(maps_tree):
+    a = MAPS(str(maps_tree), groups="train", sequence_length=SR)
+    b = MAPS(str(maps_tree), groups="test", sequence_length=SR)
+    dd = DoubleDataset(a, b)
+    assert len(dd) == 2
+    i1, i2 = dd[0]
+    assert i1["audio"].shape == i2["audio"].shape
+
+
+def test_dataloader_batching(maps_tree):
+    ds = MAPS(str(maps_tree), groups="train", sequence_length=SR)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, seed=1, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 1
+    assert batches[0]["frame"].shape == (2, SR // HOP, 88)
+    assert batches[0]["audio"].shape == (2, SR)
+
+
+def test_dataloader_multihost_stripe(maps_tree):
+    ds = MAPS(str(maps_tree), groups="train", sequence_length=SR)
+    d0 = DataLoader(ds, batch_size=1, process_index=0, process_count=2)
+    d1 = DataLoader(ds, batch_size=1, process_index=1, process_count=2)
+    assert len(list(d0)) == 1 and len(list(d1)) == 1
+
+
+def test_collate_tuples():
+    items = [({"x": np.ones(3)}, {"y": np.zeros(2)}) for _ in range(4)]
+    out = collate(items)
+    assert out[0]["x"].shape == (4, 3) and out[1]["y"].shape == (4, 2)
