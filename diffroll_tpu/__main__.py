@@ -1,0 +1,43 @@
+"""`python -m diffroll_tpu <command> [preset] key=value ...`
+
+Subcommands map 1:1 to the reference entry scripts (SURVEY.md §1 L6):
+train (train_spec_roll / continue_train_single / continue_train_both via
+pretrained_path= and dual=), test, sample, infer.
+"""
+
+from __future__ import annotations
+
+import sys
+
+COMMANDS = {}
+
+
+def _dispatch(argv):
+    # `platform=cpu|tpu` pins the jax backend before first use (some
+    # environments pin JAX_PLATFORMS via sitecustomize, so an env var set
+    # by the user would be overridden — the config flag always wins)
+    argv = list(argv)
+    for tok in list(argv):
+        if tok.startswith("platform="):
+            import jax
+
+            jax.config.update("jax_platforms", tok.split("=", 1)[1])
+            argv.remove(tok)
+
+    from .cli import infer, sample, test, train
+
+    commands = {
+        "train": train.main,
+        "test": test.main,
+        "sample": sample.main,
+        "infer": infer.main,
+    }
+    if not argv or argv[0] in ("-h", "--help") or argv[0] not in commands:
+        print(__doc__)
+        print("commands:", ", ".join(commands))
+        return 0 if argv and argv[0] in ("-h", "--help") else 2
+    return commands[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(_dispatch(sys.argv[1:]) and 0)

@@ -1,0 +1,118 @@
+"""Shared CLI plumbing: dataset/loader/model construction, run dirs,
+checkpoint load-with-override."""
+
+from __future__ import annotations
+
+import pathlib
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+
+from .. import models
+from ..config.experiment import DatasetConfig, ExperimentConfig
+from ..data.amt import MAESTRO, MAPS
+from ..data.custom import Custom
+from ..data.pipeline import DataLoader
+from ..parallel.mesh import make_mesh, shard_params
+from ..tasks.diffusion import DiffusionTask
+from ..train.checkpoint import Checkpointer
+from ..train.state import TrainState, make_optimizer
+from ..utils.logging import MetricLogger
+
+
+def build_dataset(ds: DatasetConfig, split: str):
+    """split in {'train', 'validation', 'test'} (reference groups knob)."""
+    common = dict(
+        sequence_length=ds.sequence_length, seed=ds.seed,
+        hop_length=ds.hop_length, min_midi=ds.min_midi, max_midi=ds.max_midi,
+        sampling_rate=ds.sampling_rate, preload=ds.preload,
+    )
+    if ds.name == "MAPS":
+        groups = "train" if split in ("train", "validation") else "test"
+        return MAPS(ds.root, groups=groups, data_type=ds.data_type,
+                    download=ds.download, **common)
+    if ds.name == "MAESTRO":
+        return MAESTRO(ds.root, groups=split, download=ds.download, **common)
+    if ds.name == "Custom":
+        return Custom(ds.audio_path, ds.audio_ext,
+                      max_segment_samples=ds.sequence_length,
+                      sample_rate=ds.sampling_rate)
+    raise KeyError(f"unknown dataset {ds.name!r}")
+
+
+def build_loader(cfg: ExperimentConfig, dataset, split: str) -> DataLoader:
+    dl = cfg.dataloader
+    bs = {"train": dl.train_batch_size, "validation": dl.val_batch_size,
+          "test": dl.test_batch_size}[split]
+    return DataLoader(
+        dataset, bs,
+        shuffle=dl.shuffle and split == "train",
+        drop_last=dl.drop_last and split == "train",
+        num_workers=dl.num_workers, prefetch=dl.prefetch,
+        seed=cfg.trainer.seed,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+
+
+def make_run_dir(cfg: ExperimentConfig, kind: str) -> pathlib.Path:
+    """outputs/<date>/<run-name> — the Hydra-run-dir equivalent
+    (reference README.md:50)."""
+    name = cfg.trainer.run_name or cfg.describe()
+    stamp = time.strftime("%Y-%m-%d/%H-%M-%S")
+    run_dir = pathlib.Path(cfg.trainer.output_dir) / stamp / f"{kind}-{name}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    return run_dir
+
+
+def setup_model_task(cfg: ExperimentConfig) -> Tuple[Any, DiffusionTask]:
+    model = models.DiffRollModel(cfg.model)
+    return model, DiffusionTask(model, cfg.task)
+
+
+def config_record(cfg: ExperimentConfig) -> Dict[str, Any]:
+    return {"model_name": cfg.model_name, "model": cfg.model, "task": cfg.task}
+
+
+def load_pretrained(
+    cfg: ExperimentConfig,
+) -> Tuple[ExperimentConfig, Any, DiffusionTask, TrainState]:
+    """Restore a checkpoint with the reference's "reload weights, override
+    hparams" semantic (reference load_from_checkpoint + overrides,
+    continue_train_single.py:36-37, test.py:29-36): the stored model config
+    wins for architecture; the CLI config wins for task/sampling knobs.
+    """
+    if not cfg.pretrained_path:
+        raise SystemExit("pretrained_path=<checkpoint dir> is required")
+    ckpt = Checkpointer(cfg.pretrained_path)
+    stored = ckpt.peek_config()
+    model_cfg = stored.get("model", cfg.model)
+    # architecture comes from the ckpt; sampling-time knobs (timesteps must
+    # match the embedding table) stay compatible with the stored net
+    cfg = cfg.replace(
+        model=model_cfg,
+        model_name=stored.get("model_name", cfg.model_name),
+        task=cfg.task.replace(timesteps=model_cfg.timesteps),
+    )
+    model, task = setup_model_task(cfg)
+    tx = make_optimizer(cfg.task.lr)
+    abstract = jax.eval_shape(
+        lambda k: TrainState.create(model.init(k), tx), jax.random.key(0)
+    )
+    state, _ = ckpt.load(abstract)
+    return cfg, model, task, state
+
+
+def setup_mesh(cfg: ExperimentConfig):
+    t = cfg.trainer
+    if jax.device_count() == 1 and t.model_axis == 1:
+        return None
+    data = t.data_axis
+    if data is None:
+        data = jax.device_count() // t.model_axis
+        # don't shard the batch finer than it can split
+        data = max(1, min(data, cfg.dataloader.train_batch_size))
+        while cfg.dataloader.train_batch_size % data:
+            data -= 1
+    devices = jax.devices()[: data * t.model_axis]
+    return make_mesh(data=data, model=t.model_axis, devices=devices)

@@ -1,0 +1,77 @@
+"""Evaluation entry: full reverse diffusion over the test split + F1.
+
+Mirrors `test.py` (reference :18-50) / `SpecRollDiffusion.test_step`
+(reference task/diffusion.py:312-428): for each test batch, run the
+complete T-step sampler (CFG by default, w=0.5), threshold, score frame
+P/R/F1 and mir_eval note P/R/F1. Unlike the reference (batch-0-only note
+F1, :412-427 indentation bug) every clip is scored.
+
+    python -m diffroll_tpu test pretrained_path=<ckpt dir> dataset.root=/data \
+        task.w=0.5 task.frame_threshold=0.5
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import from_argv
+from ..eval.evaluate import evaluate_rolls
+from . import _common
+
+
+def run_test(cfg, model, task, state) -> Dict[str, float]:
+    test_ds = _common.build_dataset(cfg.dataset, "test")
+    loader = _common.build_loader(cfg, test_ds, "test")
+
+    sample = jax.jit(
+        lambda params, x_T, key, waveform: task.sample(
+            params, x_T, key, waveform=waveform)[0]
+    )
+    key = jax.random.key(cfg.trainer.seed)
+
+    all_metrics: List[Dict[str, float]] = []
+    n_clips = 0
+    for batch in loader:
+        frame = jnp.asarray(batch["frame"])
+        audio = jnp.asarray(batch["audio"])
+        key, noise_key, samp_key = jax.random.split(key, 3)
+        x_T = jax.random.normal(noise_key, frame.shape)
+        pred = sample(state.params, x_T, samp_key, audio)
+        m = evaluate_rolls(
+            np.asarray(pred), np.asarray(batch["frame"]),
+            frame_threshold=cfg.task.frame_threshold,
+            hop_length=cfg.dataset.hop_length,
+            sample_rate=cfg.dataset.sampling_rate,
+        )
+        m["_n"] = frame.shape[0]
+        all_metrics.append(m)
+        n_clips += int(frame.shape[0])
+
+    if not all_metrics:
+        raise FileNotFoundError("test split resolved to zero batches")
+    weights = np.array([m.pop("_n") for m in all_metrics], dtype=np.float64)
+    weights /= weights.sum()
+    out = {k: float(np.sum([m[k] * w for m, w in zip(all_metrics, weights)]))
+           for k in all_metrics[0]}
+    out["n_clips"] = n_clips
+    return out
+
+
+def main(argv: Optional[List[str]] = None):
+    cfg, _ = from_argv(sys.argv[1:] if argv is None else argv, "test")
+    cfg, model, task, state = _common.load_pretrained(cfg)
+    metrics = run_test(cfg, model, task, state)
+    run_dir = _common.make_run_dir(cfg, "test")
+    (run_dir / "test_metrics.json").write_text(json.dumps(metrics, indent=2))
+    print(json.dumps(metrics))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

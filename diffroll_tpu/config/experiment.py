@@ -1,0 +1,122 @@
+"""The experiment config tree (root of the config system).
+
+Mirrors the reference's root yaml structure (reference
+config/spec_roll.yaml:1-54): top-level knobs + model/task/dataset/trainer/
+dataloader groups. `model` is a `DiffRollConfig` (the model + spec groups)
+and `task` a `TaskConfig` — both defined next to the code they configure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+from ..models.base import DiffRollConfig
+from ..tasks.diffusion import TaskConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    """One dataset group entry (reference config/dataset/*.yaml)."""
+
+    name: str = "MAPS"            # MAPS | MAESTRO | Custom
+    root: str = "./datasets"
+    data_type: str = "MUS"        # MAPS subset folder
+    sequence_length: int = 327680
+    seed: int = 42
+    hop_length: int = 512
+    min_midi: int = 21
+    max_midi: int = 108
+    sampling_rate: int = 16000
+    download: bool = False
+    preload: bool = False
+    # Custom-folder knobs (reference utils/custom_dataset.py ctor)
+    audio_path: str = "my_audio"
+    audio_ext: str = "wav"
+
+    def replace(self, **kw) -> "DatasetConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataloaderConfig:
+    """Per-split loader knobs (reference config/spec_roll.yaml:15-32)."""
+
+    train_batch_size: int = 16
+    val_batch_size: int = 4
+    test_batch_size: int = 8
+    num_workers: int = 4
+    prefetch: int = 2
+    shuffle: bool = True
+    drop_last: bool = True        # static shapes: never retrace on a ragged tail
+
+    def replace(self, **kw) -> "DataloaderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Execution-runtime knobs — the `pl.Trainer(**cfg.trainer)` equivalent
+    (reference config/spec_roll.yaml:33-46, train_spec_roll.py:52-56)."""
+
+    max_epochs: int = 2500
+    check_val_every_n_epoch: int = 5          # reference val_freq
+    monitor: str = "val/diffusion_loss"       # ModelCheckpoint monitor
+    save_top_k: int = 2
+    save_last: bool = True
+    output_dir: str = "outputs"
+    run_name: Optional[str] = None            # default: auto from hparams
+    seed: int = 0
+    # mesh: data axis defaults to all devices / model_axis; set data_axis
+    # to use a subset of devices (batch must divide by data_axis)
+    model_axis: int = 1
+    data_axis: Optional[int] = None
+    log_every_n_steps: int = 50
+    profile: bool = False                     # jax.profiler trace of early steps
+
+    def replace(self, **kw) -> "TrainerConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    """Root config: everything a CLI entry needs."""
+
+    model_name: str = "ClassifierFreeDiffRoll"
+    model: DiffRollConfig = DiffRollConfig()
+    task: TaskConfig = TaskConfig()
+    dataset: DatasetConfig = DatasetConfig()
+    # second dataset for the dual-loss recipe (reference continue_train_both.py)
+    dataset2: Optional[DatasetConfig] = None
+    dataloader: DataloaderConfig = DataloaderConfig()
+    trainer: TrainerConfig = TrainerConfig()
+    # checkpoint to start from (reference pretrained_path / checkpoint_path)
+    pretrained_path: Optional[str] = None
+    # sampling entry knobs (reference config/sampling.yaml)
+    num_samples: int = 16
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+    def describe(self) -> str:
+        """Informative run name encoding key hparams, like the reference's
+        TensorBoard run names (reference train_spec_roll.py:36-52)."""
+        m, t = self.model, self.task
+        return (
+            f"{self.model_name}-{self.dataset.name}"
+            f"-L{m.residual_layers}-C{m.residual_channels}-k{m.kernel_size}"
+            f"-p{m.spec_dropout}-{t.training_mode}-{t.sampling_type}-w{t.w}"
+        )
+
+
+def asdict_flat(cfg: Any, prefix: str = "") -> Dict[str, Any]:
+    """Flatten a (nested-dataclass) config into dotted keys, for logging."""
+    out: Dict[str, Any] = {}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        key = f"{prefix}{f.name}"
+        if dataclasses.is_dataclass(v) and not isinstance(v, type):
+            out.update(asdict_flat(v, key + "."))
+        else:
+            out[key] = v
+    return out

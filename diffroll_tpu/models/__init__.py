@@ -67,6 +67,20 @@ PRESETS = {
         dilation_base=1, dilation_bound=10,
         spec_dropout=0.0, norm_args=(0.0, 1.0, "imagewise"), timesteps=500,
     ),
+    # config/model/Unet.yaml — unconditional roll U-Net (RollDiffusion task,
+    # trained on RAW rolls: reference task/diffusion.py:96-100)
+    "Unet": DiffRollConfig(
+        name="Unet", variant="unet", cond_source="none", unconditional=True,
+        residual_channels=28, dim_mults=(1, 2, 4),
+        spec_dropout=0.0, norm_args=(0.0, 1.0, "none"), timesteps=200,
+    ),
+    # config/model/SpecUnet.yaml — spec-conditioned U-Net, raw log-mel cond
+    "SpecUnet": DiffRollConfig(
+        name="SpecUnet", variant="spec_unet", cond_source="spec",
+        residual_channels=28, dim_mults=(1, 2, 4),
+        spec_dropout=0.0, norm_args=(0.0, 1.0, "none"), spec_norm="none",
+        timesteps=200,
+    ),
 }
 
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..dsp.mel import MelConfig, MelSpectrogram
 from ..dsp.normalize import min_max_normalize
 from ..nn.denoiser import DiffRollNet, DiffRollNet2D
+from ..nn.unet import SpecUnetNet, UnetNet
 from . import conditioning
 
 
@@ -29,9 +30,9 @@ class DiffRollConfig:
     """Union of the reference model yaml knobs (config/model/*.yaml)."""
 
     name: str = "ClassifierFreeDiffRoll"
-    variant: str = "1d"              # '1d' | '2d'
+    variant: str = "1d"              # '1d' | '2d' | 'unet' | 'spec_unet'
     cond_source: str = "spec"        # 'spec' | 'roll' (debug) | 'none'
-    residual_channels: int = 512
+    residual_channels: int = 512     # U-Net variants: the base `dim`
     residual_layers: int = 15
     kernel_size: int = 3
     dilation_base: int = 2
@@ -48,6 +49,11 @@ class DiffRollConfig:
     #   'none'      -> raw log-mel (DiffRollv2, :383-385)
     spec_norm: str = "unit"
     n_mels: int = 229
+    # U-Net family knobs (reference model/unet.py:205-230, config/model/Unet.yaml)
+    dim_mults: Tuple[int, ...] = (1, 2, 4)
+    use_convnext: bool = True
+    convnext_mult: int = 2
+    resnet_block_groups: int = 8
     timesteps: int = 200
     frames: int = 640
     pitches: int = 88
@@ -92,6 +98,20 @@ class DiffRollModel:
                 unconditional=c.unconditional,
                 project_cond=(c.cond_source == "spec"),
             )
+        elif c.variant == "unet":
+            self.net = UnetNet(
+                dim=c.residual_channels,
+                dim_mults=c.dim_mults,
+                use_convnext=c.use_convnext,
+                convnext_mult=c.convnext_mult,
+                resnet_block_groups=c.resnet_block_groups,
+            )
+        elif c.variant == "spec_unet":
+            self.net = SpecUnetNet(
+                dim=c.residual_channels,
+                dim_mults=c.dim_mults,
+                convnext_mult=c.convnext_mult,
+            )
         else:
             raise ValueError(f"unknown variant {c.variant!r}")
         self.mel = MelSpectrogram(c.mel) if c.cond_source == "spec" else None
@@ -118,8 +138,12 @@ class DiffRollModel:
 
     def normalize_roll(self, roll: jnp.ndarray) -> jnp.ndarray:
         """Min-max the (B, T, 88) roll to norm_args range
-        (reference task/diffusion.py:653 via model/diffwave.py:634)."""
+        (reference task/diffusion.py:653 via model/diffwave.py:634).
+        mode='none' passes rolls through raw — the RollDiffusion/U-Net task
+        trains on unnormalized rolls (reference task/diffusion.py:96-100)."""
         lo, hi, mode = self.config.norm_args
+        if mode == "none":
+            return roll
         return min_max_normalize(roll, lo, hi, mode)
 
     def conditioner(

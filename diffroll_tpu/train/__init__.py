@@ -1,6 +1,7 @@
 """Training runtime: state, sharded steps, checkpointing."""
 
 from .checkpoint import Checkpointer
+from .loop import fit
 from .state import TrainState, make_optimizer
 from .step import make_eval_step, make_train_step
 
@@ -10,4 +11,5 @@ __all__ = [
     "make_train_step",
     "make_eval_step",
     "Checkpointer",
+    "fit",
 ]

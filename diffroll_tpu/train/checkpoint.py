@@ -23,15 +23,19 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import orbax.checkpoint as ocp
 
+from ..dsp.mel import MelConfig
 from ..models.base import DiffRollConfig
 from ..tasks.diffusion import TaskConfig
 
 
 def _to_jsonable(obj: Any) -> Any:
     if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
-        d = dataclasses.asdict(obj)
+        # NOT dataclasses.asdict: it flattens nested dataclasses to plain
+        # dicts before we can tag them with their class name
+        d = {f.name: _to_jsonable(getattr(obj, f.name))
+             for f in dataclasses.fields(obj)}
         d["__dataclass__"] = type(obj).__name__
-        return {k: _to_jsonable(v) for k, v in d.items()}
+        return d
     if isinstance(obj, dict):
         return {k: _to_jsonable(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):
@@ -48,7 +52,11 @@ def _to_jsonable(obj: Any) -> Any:
         return str(obj)
 
 
-_DATACLASSES = {"DiffRollConfig": DiffRollConfig, "TaskConfig": TaskConfig}
+_DATACLASSES = {
+    "DiffRollConfig": DiffRollConfig,
+    "TaskConfig": TaskConfig,
+    "MelConfig": MelConfig,
+}
 
 
 def _from_jsonable(obj: Any) -> Any:
@@ -81,8 +89,19 @@ class Checkpointer:
         self._ckptr = ocp.StandardCheckpointer()
         self.max_to_keep = max_to_keep
 
-    def _path(self, step: int) -> pathlib.Path:
+    def _path(self, step) -> pathlib.Path:
+        if step == "last":
+            return self.directory / "last"
         return self.directory / f"step_{step:09d}"
+
+    def save_last(self, state: Any, config: Optional[Dict[str, Any]] = None):
+        """Overwrite the rolling `last` checkpoint (reference
+        ModelCheckpoint save_last, config/spec_roll.yaml:44)."""
+        path = self._path("last")
+        self._ckptr.save(path / "state", state, force=True)
+        if config is not None:
+            (path / "config.json").write_text(json.dumps(_to_jsonable(config)))
+        return path
 
     def save(self, step: int, state: Any, config: Optional[Dict[str, Any]] = None):
         path = self._path(step)
@@ -98,6 +117,20 @@ class Checkpointer:
             import shutil
 
             shutil.rmtree(stale, ignore_errors=True)
+
+    def peek_config(self, step=None) -> Dict[str, Any]:
+        """Read only the stored config (no tensor restore) — needed to build
+        the model before constructing the abstract state for `load`."""
+        if step is None:
+            step = self.latest_step()
+            if step is None and (self.directory / "last").exists():
+                step = "last"
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        cfg_file = self._path(step) / "config.json"
+        if not cfg_file.exists():
+            return {}
+        return _from_jsonable(json.loads(cfg_file.read_text()))
 
     def latest_step(self) -> Optional[int]:
         ckpts = sorted(self.directory.glob("step_*"))
@@ -118,6 +151,8 @@ class Checkpointer:
         """
         if step is None:
             step = self.latest_step()
+            if step is None and (self.directory / "last").exists():
+                step = "last"
             if step is None:
                 raise FileNotFoundError(f"no checkpoints under {self.directory}")
         path = self._path(step)

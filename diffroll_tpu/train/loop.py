@@ -1,0 +1,115 @@
+"""The fit loop: epochs, validation, monitored checkpointing, logging.
+
+TPU-native equivalent of `pl.Trainer.fit` (reference train_spec_roll.py:
+54-58): one jitted sharded train step (see `step.py`) driven by a host
+loop, validation every `check_val_every_n_epoch` epochs (reference
+val_freq, config/spec_roll.yaml:2,38), a monitored best-checkpoint policy
+(reference ModelCheckpoint monitor/save_top_k/save_last,
+config/spec_roll.yaml:40-46), JSONL+TB metrics, and optional jax.profiler
+traces of early steps.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..config.experiment import TrainerConfig
+from ..parallel.mesh import shard_batch
+from ..utils.logging import MetricLogger
+from ..utils.profiling import StepTimer, trace_if
+from .checkpoint import Checkpointer
+from .state import TrainState
+from .step import make_eval_step, make_train_step
+
+
+def _batch_size(batch: Any) -> int:
+    leaf = jax.tree_util.tree_leaves(batch)[0]
+    return int(leaf.shape[0])
+
+
+def _mean_losses(records) -> Dict[str, float]:
+    if not records:
+        return {}
+    keys = records[0].keys()
+    return {k: float(np.mean([float(r[k]) for r in records])) for k in keys}
+
+
+def fit(
+    task,
+    state: TrainState,
+    train_loader: Iterable,
+    tx,
+    trainer: TrainerConfig = TrainerConfig(),
+    val_loader: Optional[Iterable] = None,
+    mesh=None,
+    checkpointer: Optional[Checkpointer] = None,
+    logger: Optional[MetricLogger] = None,
+    config_record: Optional[Dict[str, Any]] = None,
+    val_hook=None,
+) -> TrainState:
+    """Train to `trainer.max_epochs`. Returns the final state.
+
+    `val_hook(state, batch) -> dict` may add extra metrics (e.g. rendered
+    roll figures) on the first validation batch of each eval epoch.
+    """
+    step_fn = make_train_step(task.loss_fn, tx, mesh=mesh, state_example=state)
+    eval_fn = make_eval_step(task.loss_fn)
+    key = jax.random.key(trainer.seed)
+
+    best = math.inf
+    timer = StepTimer()
+    global_step = int(state.step)
+
+    for epoch in range(trainer.max_epochs):
+        with trace_if(trainer.profile and epoch == 0,
+                      str(logger.run_dir / "profile") if logger else "/tmp/jax-trace"):
+            for batch in train_loader:
+                if mesh is not None:
+                    batch = shard_batch(mesh, batch)
+                key, step_key = jax.random.split(key)
+                state, losses = step_fn(state, batch, step_key)
+                timer.tick(_batch_size(batch))
+                global_step += 1
+                if logger and global_step % trainer.log_every_n_steps == 0:
+                    scalars = {f"train/{k}": v for k, v in losses.items()}
+                    scalars.update(timer.rates())
+                    scalars["epoch"] = epoch
+                    logger.log_scalars(global_step, scalars)
+
+        run_val = (epoch + 1) % trainer.check_val_every_n_epoch == 0
+        if run_val:
+            monitored = None
+            if val_loader is not None:
+                records = []
+                extra: Dict[str, float] = {}
+                for i, batch in enumerate(val_loader):
+                    key, eval_key = jax.random.split(key)
+                    records.append(eval_fn(state.params, batch, eval_key))
+                    if i == 0 and val_hook is not None:
+                        extra = val_hook(state, batch) or {}
+                val_losses = _mean_losses(records)
+                if logger and val_losses:
+                    scalars = {f"val/{k}": v for k, v in val_losses.items()}
+                    scalars.update(extra)
+                    logger.log_scalars(global_step, scalars)
+                monitored = val_losses.get(
+                    trainer.monitor.removeprefix("val/"), None
+                )
+            elif trainer.monitor.startswith("train/"):
+                monitored = float(losses[trainer.monitor.removeprefix("train/")])
+
+            if checkpointer is not None:
+                if trainer.save_last:
+                    checkpointer.save_last(state, config_record)
+                if monitored is not None and monitored < best:
+                    best = monitored
+                    checkpointer.save(global_step, state, config_record)
+
+    if checkpointer is not None:
+        checkpointer.save_last(state, config_record)
+        checkpointer.wait()
+    return state

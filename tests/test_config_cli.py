@@ -1,0 +1,196 @@
+"""Config system + CLI entry tests: preset composition, dotted overrides,
+YAML layering, and tiny end-to-end runs of the train/test/sample/infer
+entries on a synthetic MAPS tree (the L5/L6 layers, SURVEY.md §1)."""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from diffroll_tpu.config import (
+    PRESETS,
+    apply_overrides,
+    compose,
+    from_argv,
+    parse_argv,
+)
+from diffroll_tpu.config.experiment import asdict_flat
+from diffroll_tpu.io import write_midi, write_wav
+
+SR, HOP = 16000, 512
+# 64-frame clips keep U-Net/CFG compile fast on the CPU test backend
+FRAMES = 64
+SEQ = FRAMES * HOP
+
+
+# ----------------------------------------------------------------- config
+
+def test_presets_compose():
+    for name in PRESETS:
+        cfg = compose(name)
+        assert cfg.model.timesteps == cfg.task.timesteps, name
+
+
+def test_dotted_overrides_types():
+    cfg = compose("spec_roll", {
+        "model.kernel_size": "9",
+        "model.spec_dropout": "0.4",
+        "task.w": "0.5",
+        "task.sampling_type": "ddim_x0",
+        "task.inpainting_t": "[10,20]",
+        "trainer.run_name": "null",
+        "dataset.download": "false",
+        "dataloader.train_batch_size": "2",
+    })
+    assert cfg.model.kernel_size == 9
+    assert cfg.model.spec_dropout == 0.4
+    assert cfg.task.w == 0.5
+    assert cfg.task.sampling_type == "ddim_x0"
+    assert cfg.task.inpainting_t == (10, 20)
+    assert cfg.trainer.run_name is None
+    assert cfg.dataset.download is False
+    assert cfg.dataloader.train_batch_size == 2
+
+
+def test_model_swap_recomposes():
+    cfg = compose("spec_roll", {"model_name": "DiffRollv2",
+                                "model.residual_layers": "4"})
+    assert cfg.model.variant == "2d"
+    assert cfg.model.residual_layers == 4
+    # timesteps synced model<->task
+    assert cfg.model.timesteps == cfg.task.timesteps
+
+
+def test_unknown_key_raises():
+    with pytest.raises(KeyError):
+        compose("spec_roll", {"model.bogus_knob": "1"})
+    with pytest.raises(KeyError):
+        compose("nonexistent_preset")
+
+
+def test_yaml_layering(tmp_path):
+    y = tmp_path / "exp.yaml"
+    y.write_text("task:\n  w: 0.25\nmodel:\n  kernel_size: 5\n")
+    cfg = compose("spec_roll", {"config": str(y), "task.w": "0.75"})
+    assert cfg.model.kernel_size == 5
+    assert cfg.task.w == 0.75  # CLI beats YAML
+
+
+def test_parse_argv_and_from_argv():
+    pos, ov = parse_argv(["test", "task.w=1.5", "--flag"])
+    assert pos == ["test", "--flag"] and ov == {"task.w": "1.5"}
+    cfg, rest = from_argv(["unsupervised_pretrained", "dual"], "spec_roll")
+    assert cfg.model.spec_dropout == 1.0
+    assert rest == ["dual"]
+
+
+def test_asdict_flat_roundtrippable():
+    flat = asdict_flat(compose("spec_roll"))
+    assert flat["model.residual_channels"] == 512
+    assert flat["task.sampling_type"] == "cfdg_ddpm_x0"
+
+
+# ----------------------------------------------------------------- CLI e2e
+
+def make_clip(path: pathlib.Path, seconds=SEQ / SR):
+    n = int(seconds * SR)
+    rng = np.random.RandomState(hash(str(path)) % (2**31))
+    write_wav(path.with_suffix(".wav"), rng.randn(n).astype(np.float32) * 0.1, SR)
+    write_midi(str(path.with_suffix(".mid")), [60, 64, 67],
+               [(0.1, 0.5), (0.5, 1.0), (1.0, 1.5)])
+
+
+@pytest.fixture()
+def maps_tree(tmp_path):
+    for subset in ("AkPnBcht", "ENSTDkAm"):
+        d = tmp_path / "MAPS" / subset / "MUS"
+        d.mkdir(parents=True)
+        for i in range(2):
+            make_clip(d / f"clip{i}")
+    return tmp_path
+
+
+TINY = [
+    "model.residual_channels=16", "model.residual_layers=2",
+    f"model.frames={FRAMES}", "task.timesteps=4",
+    "dataloader.train_batch_size=2", "dataloader.test_batch_size=2",
+    "dataloader.num_workers=1", "trainer.max_epochs=1",
+    "trainer.check_val_every_n_epoch=1", "trainer.log_every_n_steps=1",
+    f"dataset.sequence_length={SEQ}",
+]
+
+
+def _tiny_args(maps_tree, out, extra=()):
+    return TINY + [f"dataset.root={maps_tree}", f"trainer.output_dir={out}",
+                   *extra]
+
+
+def test_cli_train_then_test_then_sample(maps_tree, tmp_path):
+    from diffroll_tpu.cli import sample as sample_cli
+    from diffroll_tpu.cli import test as test_cli
+    from diffroll_tpu.cli import train as train_cli
+
+    out = tmp_path / "out"
+    train_cli.main(["spec_roll", *_tiny_args(maps_tree, out)])
+
+    ckpts = sorted(out.rglob("checkpoints"))
+    assert ckpts, "train produced no checkpoint dir"
+    ckpt = ckpts[0]
+    assert (ckpt / "last").exists()
+    metrics_files = sorted(out.rglob("test_metrics.json"))
+    assert metrics_files
+    metrics = json.loads(metrics_files[0].read_text())
+    assert 0.0 <= metrics["frame_f1"] <= 1.0
+    assert metrics["n_clips"] == 2
+
+    # standalone eval entry reloads the checkpoint and re-scores
+    m2 = test_cli.main([f"pretrained_path={ckpt}",
+                        *_tiny_args(maps_tree, out, ["task.w=0.5"])])
+    assert 0.0 <= m2["frame_f1"] <= 1.0
+
+    # transcription sampling over the MAPS test split
+    run_dir = sample_cli.main([
+        f"pretrained_path={ckpt}", "dataset.name=MAPS", "num_samples=2",
+        *_tiny_args(maps_tree, out),
+    ])
+    mids = sorted(run_dir.glob("*.mid"))
+    npzs = sorted(run_dir.glob("*.npz"))
+    assert len(npzs) == 2
+    assert len(mids) == 2
+    traj = np.load(npzs[0])
+    assert traj["roll"].shape == (FRAMES, 88)
+
+
+def test_cli_generation_needs_no_audio(maps_tree, tmp_path):
+    from diffroll_tpu.cli import sample as sample_cli
+    from diffroll_tpu.cli import train as train_cli
+
+    out = tmp_path / "out"
+    train_cli.main(["spec_roll", *_tiny_args(maps_tree, out)])
+    ckpt = sorted(out.rglob("checkpoints"))[0]
+    run_dir = sample_cli.main([
+        f"pretrained_path={ckpt}", "task.sampling_type=generation_ddpm_x0",
+        "num_samples=2", *_tiny_args(maps_tree, out),
+    ])
+    assert len(sorted(run_dir.glob("*.npz"))) >= 2
+
+
+def test_cli_infer_unet(maps_tree, tmp_path):
+    from diffroll_tpu.cli import infer as infer_cli
+    from diffroll_tpu.cli import train as train_cli
+
+    out = tmp_path / "out"
+    unet_tiny = [
+        "model.residual_channels=6", f"model.frames={FRAMES}",
+        "task.timesteps=4", "dataloader.train_batch_size=2",
+        "dataloader.num_workers=1", "trainer.max_epochs=1",
+        "trainer.check_val_every_n_epoch=1",
+        f"dataset.sequence_length={SEQ}", "dataset.name=MAPS",
+        f"dataset.root={maps_tree}", f"trainer.output_dir={out}",
+    ]
+    train_cli.main(["pianoroll", *unet_tiny])
+    ckpt = sorted(out.rglob("checkpoints"))[0]
+    run_dir = infer_cli.main([f"pretrained_path={ckpt}", "num_samples=2",
+                              f"trainer.output_dir={out}"])
+    assert len(sorted(run_dir.glob("*.npz"))) == 2
