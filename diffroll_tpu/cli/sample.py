@@ -95,6 +95,12 @@ def main(argv: Optional[List[str]] = None):
             x0, traj = sample(state.params, x_T, sk, jnp.asarray(batch["audio"]))
         x0 = np.asarray(x0)
         traj = np.asarray(traj) if traj is not None else None
+        if idx == 0 and traj is not None:
+            # denoising animation for the first clip (the reference's
+            # algo2.gif, task/diffusion.py:356-378)
+            from ..viz import save_trajectory_gif
+
+            save_trajectory_gif(traj, run_dir / "denoising.gif")
         names = batch.get("file_name") or [f"clip_{idx + j}" for j in range(bsz)]
         for j in range(bsz):
             name = str(names[j]).rsplit(".", 1)[0]

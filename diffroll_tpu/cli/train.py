@@ -77,12 +77,29 @@ def main(argv: Optional[List[str]] = None):
                            params=shard_params(mesh, state.params),
                            opt_state=shard_params(mesh, state.opt_state))
 
+    def val_hook(state, batch):
+        """Render the one-step denoised rolls for the first val batch
+        (the reference's validation figure grids, task/diffusion.py:643-649)."""
+        import numpy as np
+
+        from ..viz import roll_figure
+
+        _, (_, tensors) = task.loss_fn(state.params, batch,
+                                       jax.random.key(0), False)
+        fig = roll_figure(np.asarray(tensors["pred_roll"]),
+                          np.asarray(tensors["label_roll"]),
+                          np.asarray(tensors["spec"])
+                          if tensors.get("spec") is not None else None)
+        logger.log_figure(int(state.step), "val/rolls", fig)
+        return {}
+
     print(f"run dir: {run_dir}", file=sys.stderr)
     state = fit(
         task, state, train_loader, tx,
         trainer=cfg.trainer, val_loader=val_loader, mesh=mesh,
         checkpointer=ckpt, logger=logger,
         config_record=_common.config_record(cfg),
+        val_hook=val_hook,
     )
 
     # trainer.test equivalent (reference train_spec_roll.py:59)

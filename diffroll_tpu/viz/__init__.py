@@ -1,0 +1,3 @@
+from .figures import animate_trajectory, roll_figure, save_trajectory_gif
+
+__all__ = ["roll_figure", "animate_trajectory", "save_trajectory_gif"]
