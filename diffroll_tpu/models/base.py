@@ -81,6 +81,7 @@ class DiffRollModel:
                 out_features=c.pitches,
                 unconditional=c.unconditional,
                 condition=c.condition,
+                frames=c.frames,
                 spec_frames=c.mel.num_frames(
                     c.frames * c.mel.hop_length
                 ),
@@ -187,32 +188,65 @@ class DiffRollModel:
         t: jnp.ndarray,
         cond: Optional[jnp.ndarray],
         uncond_mask: Optional[jnp.ndarray] = None,
+        cond_proj: Optional[Any] = None,
     ) -> jnp.ndarray:
         """Denoiser forward: (B, T, 88) x (B,) x (B, T, n_cond) -> (B, T, 88)."""
-        return self.net.apply(params, x_t, t, cond, uncond_mask)
+        if cond_proj is None:  # U-Net variants take no cond_proj kwarg
+            return self.net.apply(params, x_t, t, cond, uncond_mask)
+        return self.net.apply(params, x_t, t, cond, uncond_mask,
+                              cond_proj=cond_proj)
+
+    def cond_projections(
+        self,
+        params: Any,
+        cond: jnp.ndarray,
+        uncond_mask: Optional[jnp.ndarray] = None,
+    ) -> Any:
+        """Precompute every layer's projected conditioner. Samplers call
+        this ONCE per clip; the per-step forward then skips all conditioner
+        convs (the reference recomputes them in each of its 400 forwards,
+        reference model/diffwave.py:143)."""
+        return self.net.apply(params, cond, uncond_mask,
+                              method="cond_projections")
 
     def apply_cfg(
         self,
         params: Any,
         x_t: jnp.ndarray,
         t: jnp.ndarray,
-        cond: jnp.ndarray,
+        cond: Optional[jnp.ndarray] = None,
+        cond_proj: Optional[Any] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Both classifier-free-guidance branches in ONE forward of 2B.
 
         The reference runs two sequential forwards per step (reference
         task/diffusion.py:951-952); batching them doubles MXU utilisation
-        per launch and halves per-step latency at small B.
+        per launch and halves per-step latency at small B. Pass `cond_proj`
+        (from `cfg_cond_projections`) to also skip the conditioner convs.
         """
         b = x_t.shape[0]
         x2 = jnp.concatenate([x_t, x_t], axis=0)
         t2 = jnp.concatenate([t, t], axis=0) if t.ndim else jnp.full((2 * b,), t)
+        if cond_proj is None:
+            cond2 = jnp.concatenate([cond, cond], axis=0)
+            mask2 = jnp.concatenate(
+                [jnp.zeros((b,), bool), jnp.ones((b,), bool)], axis=0
+            )
+            out = self.net.apply(params, x2, t2, cond2, mask2)
+        else:
+            out = self.net.apply(params, x2, t2, None, None,
+                                 cond_proj=cond_proj)
+        return out[:b], out[b:]
+
+    def cfg_cond_projections(self, params: Any, cond: jnp.ndarray) -> Any:
+        """Projected conditioners for the batched-CFG forward: rows [0, B)
+        conditional, rows [B, 2B) unconditional."""
+        b = cond.shape[0]
         cond2 = jnp.concatenate([cond, cond], axis=0)
         mask2 = jnp.concatenate(
             [jnp.zeros((b,), bool), jnp.ones((b,), bool)], axis=0
         )
-        out = self.net.apply(params, x2, t2, cond2, mask2)
-        return out[:b], out[b:]
+        return self.cond_projections(params, cond2, mask2)
 
 
 def param_count(params: Any) -> int:

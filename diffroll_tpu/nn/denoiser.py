@@ -21,12 +21,20 @@ Classifier-free conditioning (reference ClassifierFreeDiffRoll):
 All three are driven by an explicit per-sample boolean `uncond_mask`
 (train-time Bernoulli(p) dropout, sampling-time all-True for the CFG
 unconditional branch) instead of the reference's in-place tensor surgery.
+
+Sampler fast path: `cond_projections` (exposed via
+`net.apply(params, cond, mask, method="cond_projections")`) precomputes
+every layer's projected conditioner (B, T, 2C). The reverse-diffusion loop
+computes it ONCE per clip and passes it back via `cond_proj=`; the per-step
+forward is then just the dilated-conv/gate/projection chain. The reference
+re-projects the conditioner inside all 400 forwards of a CFG sampling run
+(reference model/diffwave.py:143 runs inside forward, task/diffusion.py:779).
 """
 
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -52,76 +60,89 @@ class DiffRollNet(nn.Module):
     out_features: int = 88
     unconditional: bool = False
     condition: str = "fixed"       # 'fixed' | 'trainable_spec' | 'trainable_z'
+    frames: int = 640              # roll frames (trainable_z embedding length)
     spec_frames: int = 641         # trainable_spec parameter length
     n_mels: int = 229              # trainable_spec parameter width
 
-    @nn.compact
+    def setup(self):
+        if self.condition not in ("fixed", "trainable_spec", "trainable_z"):
+            raise ValueError(f"unrecognized condition {self.condition!r}")
+        c = self.residual_channels
+        self.input_projection = nn.Conv(c, (1,), kernel_init=_conv_init)
+        self.diffusion_embedding = DiffusionEmbedding(self.max_steps)
+        self.blocks = [
+            ResidualBlock(
+                residual_channels=c,
+                dilation=self.dilation_base ** (i % self.dilation_bound),
+                kernel_size=self.kernel_size,
+                conditional=not self.unconditional,
+                trainable_z=(self.condition == "trainable_z"),
+                z_frames=self.frames,
+                name=f"residual_layers_{i}",
+            )
+            for i in range(self.residual_layers)
+        ]
+        self.skip_projection = nn.Conv(c, (1,), kernel_init=_conv_init)
+        # zero-init head (reference model/diffwave.py:307, 631) so the net
+        # predicts 0 at init and diffusion training starts from the prior
+        self.output_projection = nn.Conv(
+            self.out_features, (1,), kernel_init=nn.initializers.zeros
+        )
+        if self.condition == "trainable_spec":
+            self.trainable_parameters = self.param(
+                "trainable_parameters",
+                lambda key, shape: jnp.full(shape, -1.0, jnp.float32),
+                (self.spec_frames, self.n_mels),
+            )
+
+    def cond_projections(
+        self,
+        cond: jnp.ndarray,
+        uncond_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, ...]:
+        """(B, T, n_cond) -> per-layer projected conditioners (B, T, 2C),
+        with the unconditional substitution applied per `condition` mode."""
+        if self.unconditional:
+            raise ValueError("unconditional net has no conditioner")
+        if uncond_mask is not None:
+            if self.condition == "fixed":
+                cond = jnp.where(uncond_mask[:, None, None], -1.0, cond)
+            elif self.condition == "trainable_spec":
+                tp = self.trainable_parameters[None, : cond.shape[1]]
+                cond = jnp.where(uncond_mask[:, None, None], tp, cond)
+        z_mask = uncond_mask if self.condition == "trainable_z" else None
+        return tuple(block.cond_proj(cond, z_mask) for block in self.blocks)
+
     def __call__(
         self,
         x_t: jnp.ndarray,
         t: jnp.ndarray,
         cond: Optional[jnp.ndarray] = None,
         uncond_mask: Optional[jnp.ndarray] = None,
+        cond_proj: Optional[Sequence[jnp.ndarray]] = None,
     ) -> jnp.ndarray:
-        """x_t (B, T, 88), t (B,), cond (B, T, n_cond) or None -> (B, T, 88)."""
-        if self.condition not in ("fixed", "trainable_spec", "trainable_z"):
-            raise ValueError(f"unrecognized condition {self.condition!r}")
+        """x_t (B, T, 88), t (B,), cond (B, T, n_cond) or None -> (B, T, 88).
 
-        conditional = not self.unconditional and cond is not None
+        Pass either `cond` (projections computed inline — the training
+        path) or `cond_proj` (precomputed once per clip — the sampler path).
+        """
+        conditional = not self.unconditional and (
+            cond is not None or cond_proj is not None
+        )
+        if conditional and cond_proj is None:
+            cond_proj = self.cond_projections(cond, uncond_mask)
 
-        if conditional and uncond_mask is not None:
-            if self.condition == "fixed":
-                cond = jnp.where(uncond_mask[:, None, None], -1.0, cond)
-            elif self.condition == "trainable_spec":
-                tp = self.param(
-                    "trainable_parameters",
-                    lambda key, shape: jnp.full(shape, -1.0, jnp.float32),
-                    (self.spec_frames, self.n_mels),
-                )
-                cond = jnp.where(
-                    uncond_mask[:, None, None], tp[None, : cond.shape[1]], cond
-                )
-            # trainable_z: mask is consumed inside each block
-
-        x = nn.Conv(
-            self.residual_channels, (1,), kernel_init=_conv_init,
-            name="input_projection",
-        )(x_t)
-        x = nn.relu(x)
-
-        t_emb = DiffusionEmbedding(self.max_steps, name="diffusion_embedding")(t)
+        x = nn.relu(self.input_projection(x_t))
+        t_emb = self.diffusion_embedding(t)
 
         skip_sum = None
-        for i in range(self.residual_layers):
-            block = ResidualBlock(
-                residual_channels=self.residual_channels,
-                dilation=self.dilation_base ** (i % self.dilation_bound),
-                kernel_size=self.kernel_size,
-                conditional=conditional,
-                trainable_z=(self.condition == "trainable_z"),
-                name=f"residual_layers_{i}",
-            )
-            x, skip = block(
-                x,
-                t_emb,
-                cond if conditional else None,
-                uncond_mask if self.condition == "trainable_z" else None,
-            )
+        for i, block in enumerate(self.blocks):
+            x, skip = block(x, t_emb, cond_proj[i] if conditional else None)
             skip_sum = skip if skip_sum is None else skip_sum + skip
 
         x = skip_sum / math.sqrt(self.residual_layers)
-        x = nn.Conv(
-            self.residual_channels, (1,), kernel_init=_conv_init,
-            name="skip_projection",
-        )(x)
-        x = nn.relu(x)
-        # zero-init head (reference model/diffwave.py:307, 631) so the net
-        # predicts 0 at init and diffusion training starts from the prior
-        x = nn.Conv(
-            self.out_features, (1,), kernel_init=nn.initializers.zeros,
-            name="output_projection",
-        )(x)
-        return x
+        x = nn.relu(self.skip_projection(x))
+        return self.output_projection(x)
 
 
 class DiffRollNet2D(nn.Module):
@@ -143,54 +164,66 @@ class DiffRollNet2D(nn.Module):
     unconditional: bool = False
     project_cond: bool = True      # False for debug variant (roll conditioner)
 
-    @nn.compact
+    def setup(self):
+        c = self.residual_channels
+        self.input_projection = nn.Conv(c, (1, 1), kernel_init=_conv_init)
+        self.diffusion_embedding = DiffusionEmbedding(self.max_steps)
+        if self.project_cond:
+            self.spec_projection = nn.Conv(88, (1,), kernel_init=_conv_init)
+        self.blocks = [
+            ResidualBlock2D(
+                residual_channels=c,
+                dilation=self.dilation_base ** (i % self.dilation_bound),
+                kernel_size=self.kernel_size,
+                conditional=not self.unconditional,
+                name=f"residual_layers_{i}",
+            )
+            for i in range(self.residual_layers)
+        ]
+        self.skip_projection = nn.Conv(c, (1, 1), kernel_init=_conv_init)
+        self.output_projection = nn.Conv(
+            1, (1, 1), kernel_init=nn.initializers.zeros
+        )
+
+    def cond_projections(
+        self,
+        cond: jnp.ndarray,
+        uncond_mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, ...]:
+        """(B, T, n_cond) -> per-layer (B, T, 88, 2C) projections."""
+        if self.unconditional:
+            raise ValueError("unconditional net has no conditioner")
+        if self.project_cond:
+            cond = self.spec_projection(cond)
+        if uncond_mask is not None:
+            cond = jnp.where(uncond_mask[:, None, None], -1.0, cond)
+        cond = cond[..., None]  # (B, T, 88, 1)
+        return tuple(block.cond_proj(cond) for block in self.blocks)
+
     def __call__(
         self,
         x_t: jnp.ndarray,
         t: jnp.ndarray,
         cond: Optional[jnp.ndarray] = None,
         uncond_mask: Optional[jnp.ndarray] = None,
+        cond_proj: Optional[Sequence[jnp.ndarray]] = None,
     ) -> jnp.ndarray:
         """x_t (B, T, 88), t (B,), cond (B, T, n_cond) -> (B, T, 88)."""
-        conditional = not self.unconditional and cond is not None
-        if conditional:
-            if self.project_cond:
-                cond = nn.Conv(
-                    88, (1,), kernel_init=_conv_init, name="spec_projection"
-                )(cond)
-            if uncond_mask is not None:
-                cond = jnp.where(uncond_mask[:, None, None], -1.0, cond)
-            cond = cond[..., None]  # (B, T, 88, 1)
+        conditional = not self.unconditional and (
+            cond is not None or cond_proj is not None
+        )
+        if conditional and cond_proj is None:
+            cond_proj = self.cond_projections(cond, uncond_mask)
 
         x = x_t[..., None]  # (B, T, 88, 1)
-        x = nn.Conv(
-            self.residual_channels, (1, 1), kernel_init=_conv_init,
-            name="input_projection",
-        )(x)
-        x = nn.relu(x)
-
-        t_emb = DiffusionEmbedding(self.max_steps, name="diffusion_embedding")(t)
+        x = nn.relu(self.input_projection(x))
+        t_emb = self.diffusion_embedding(t)
 
         skip_sum = None
-        for i in range(self.residual_layers):
-            block = ResidualBlock2D(
-                residual_channels=self.residual_channels,
-                dilation=self.dilation_base ** (i % self.dilation_bound),
-                kernel_size=self.kernel_size,
-                conditional=conditional,
-                name=f"residual_layers_{i}",
-            )
-            x, skip = block(x, t_emb, cond if conditional else None)
+        for i, block in enumerate(self.blocks):
+            x, skip = block(x, t_emb, cond_proj[i] if conditional else None)
             skip_sum = skip if skip_sum is None else skip_sum + skip
 
         x = skip_sum / math.sqrt(self.residual_layers)
-        x = nn.Conv(
-            self.residual_channels, (1, 1), kernel_init=_conv_init,
-            name="skip_projection",
-        )(x)
-        x = nn.relu(x)
-        x = nn.Conv(
-            1, (1, 1), kernel_init=nn.initializers.zeros,
-            name="output_projection",
-        )(x)
-        return x[..., 0]  # (B, T, 88)
+        x = nn.relu(self.skip_projection(x))
+        return self.output_projection(x)[..., 0]  # (B, T, 88)

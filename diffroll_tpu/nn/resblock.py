@@ -9,8 +9,10 @@ model/diffwave.py:107-234). Differences from the reference that matter:
   * unconditionality is an explicit per-sample boolean mask argument instead
     of sniffing `conditioner.mean() == -1` inside the block (reference
     model/diffwave.py:183-186) — data-independent control flow, jit-safe.
-  * no in-place mutation: `jnp.where` selects between the conditioner
-    projection and the learned unconditional embedding.
+  * the conditioner projection is a SEPARATE entry point (`cond_proj`) so
+    samplers can compute it ONCE per clip and reuse it across all T reverse
+    steps — the reference recomputes it in every one of the 400 forwards of
+    a CFG run (reference model/diffwave.py:143, inside forward).
 
 Semantics preserved exactly: y = dilated_conv(x + t_proj) + cond_proj;
 gate, filter = split(y); y = sigmoid(gate) * tanh(filter);
@@ -36,14 +38,14 @@ _SQRT_HALF = 0.7071067811865476
 class ResidualBlock(nn.Module):
     """1-D gated dilated residual block over (B, T, C).
 
-    Args to __call__:
-      x: (B, T, C) hidden state.
-      t_emb: (B, 512) diffusion-step embedding.
-      cond: (B, T, n_cond) conditioner (log-mel spec, or roll for debug
-        models), or None for a fully unconditional block.
-      uncond_mask: (B,) bool; True rows use the learned `uncon_z` embedding
-        instead of the projected conditioner. Only meaningful when
-        `trainable_z=True` (reference ResidualBlockz, model/diffwave.py:153-194).
+    Two entry points:
+      __call__(x, t_emb, cond_proj): the per-step compute. `cond_proj` is
+        the already-projected conditioner (B, T, 2C) or None.
+      cond_proj(cond, uncond_mask): project the raw conditioner
+        (B, T, n_cond) -> (B, T, 2C), applying the unconditional
+        substitution (learned `uncon_z` for trainable_z, reference
+        ResidualBlockz model/diffwave.py:153-194; the fixed spec:=-1 case
+        is applied upstream before projection).
     """
 
     residual_channels: int
@@ -51,50 +53,62 @@ class ResidualBlock(nn.Module):
     kernel_size: int = 3
     conditional: bool = True
     trainable_z: bool = False
+    z_frames: int = 640            # uncon_z length (trainable_z only)
 
-    @nn.compact
-    def __call__(
-        self,
-        x: jnp.ndarray,
-        t_emb: jnp.ndarray,
-        cond: Optional[jnp.ndarray] = None,
-        uncond_mask: Optional[jnp.ndarray] = None,
-    ):
+    def setup(self):
         c = self.residual_channels
-        step = nn.Dense(c, name="diffusion_projection")(t_emb)
-        y = x + step[:, None, :]
-        y = nn.Conv(
+        self.diffusion_projection = nn.Dense(c)
+        self.dilated_conv = nn.Conv(
             2 * c,
             (self.kernel_size,),
             kernel_dilation=(self.dilation,),
             padding="SAME",
             kernel_init=_conv_init,
-            name="dilated_conv",
-        )(y)
-
+        )
         if self.conditional:
-            if cond is None:
-                raise ValueError("conditional block requires a conditioner")
-            proj = nn.Conv(
-                2 * c, (1,), kernel_init=_conv_init, name="conditioner_projection"
-            )(cond)
+            self.conditioner_projection = nn.Conv(
+                2 * c, (1,), kernel_init=_conv_init
+            )
             if self.trainable_z:
                 # learned unconditional embedding, (T, 2C) — reference keeps
                 # (2C, 640) (model/diffwave.py:163-166, uninitialised
                 # torch.empty; we use a proper normal init)
-                z = self.param(
+                self.uncon_z = self.param(
                     "uncon_z",
                     nn.initializers.normal(stddev=0.02),
-                    (cond.shape[1], 2 * c),
+                    (self.z_frames, 2 * c),
                 )
-                if uncond_mask is not None:
-                    proj = jnp.where(uncond_mask[:, None, None], z[None], proj)
-            y = y + proj
+        self.output_projection = nn.Conv(2 * c, (1,), kernel_init=_conv_init)
+
+    def cond_proj(
+        self,
+        cond: jnp.ndarray,
+        uncond_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        if not self.conditional:
+            raise ValueError("unconditional block has no conditioner projection")
+        proj = self.conditioner_projection(cond)
+        if self.trainable_z and uncond_mask is not None:
+            z = self.uncon_z[: cond.shape[1]]
+            proj = jnp.where(uncond_mask[:, None, None], z[None], proj)
+        return proj
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t_emb: jnp.ndarray,
+        cond_proj: Optional[jnp.ndarray] = None,
+    ):
+        step = self.diffusion_projection(t_emb)
+        y = x + step[:, None, :]
+        y = self.dilated_conv(y)
+        if cond_proj is not None:
+            y = y + cond_proj
 
         gate, filt = jnp.split(y, 2, axis=-1)
         y = jax.nn.sigmoid(gate) * jnp.tanh(filt)
 
-        y = nn.Conv(2 * c, (1,), kernel_init=_conv_init, name="output_projection")(y)
+        y = self.output_projection(y)
         residual, skip = jnp.split(y, 2, axis=-1)
         return (x + residual) * _SQRT_HALF, skip
 
@@ -109,37 +123,47 @@ class ResidualBlock2D(nn.Module):
     kernel_size: int = 3
     conditional: bool = True
 
-    @nn.compact
-    def __call__(
-        self,
-        x: jnp.ndarray,
-        t_emb: jnp.ndarray,
-        cond: Optional[jnp.ndarray] = None,
-        uncond_mask: Optional[jnp.ndarray] = None,
-    ):
-        del uncond_mask  # no trainable-z variant in 2-D
+    def setup(self):
         c = self.residual_channels
-        step = nn.Dense(c, name="diffusion_projection")(t_emb)
-        y = x + step[:, None, None, :]
-        y = nn.Conv(
+        self.diffusion_projection = nn.Dense(c)
+        self.dilated_conv = nn.Conv(
             2 * c,
             (self.kernel_size, self.kernel_size),
             kernel_dilation=(self.dilation, self.dilation),
             padding="SAME",
             kernel_init=_conv_init,
-            name="dilated_conv",
-        )(y)
+        )
         if self.conditional:
-            if cond is None:
-                raise ValueError("conditional block requires a conditioner")
-            proj = nn.Conv(
-                2 * c, (1, 1), kernel_init=_conv_init, name="conditioner_projection"
-            )(cond)
-            y = y + proj
+            self.conditioner_projection = nn.Conv(
+                2 * c, (1, 1), kernel_init=_conv_init
+            )
+        self.output_projection = nn.Conv(2 * c, (1, 1), kernel_init=_conv_init)
+
+    def cond_proj(
+        self,
+        cond: jnp.ndarray,
+        uncond_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        del uncond_mask  # no trainable-z variant in 2-D
+        if not self.conditional:
+            raise ValueError("unconditional block has no conditioner projection")
+        return self.conditioner_projection(cond)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t_emb: jnp.ndarray,
+        cond_proj: Optional[jnp.ndarray] = None,
+    ):
+        step = self.diffusion_projection(t_emb)
+        y = x + step[:, None, None, :]
+        y = self.dilated_conv(y)
+        if cond_proj is not None:
+            y = y + cond_proj
 
         gate, filt = jnp.split(y, 2, axis=-1)
         y = jax.nn.sigmoid(gate) * jnp.tanh(filt)
 
-        y = nn.Conv(2 * c, (1, 1), kernel_init=_conv_init, name="output_projection")(y)
+        y = self.output_projection(y)
         residual, skip = jnp.split(y, 2, axis=-1)
         return (x + residual) * _SQRT_HALF, skip

@@ -1,0 +1,11 @@
+from .gated_stack import GatedStackWeights, gated_stack, gated_stack_xla, stack_weights
+from .fused_forward import fused_forward, supports_fused
+
+__all__ = [
+    "GatedStackWeights",
+    "gated_stack",
+    "gated_stack_xla",
+    "stack_weights",
+    "fused_forward",
+    "supports_fused",
+]

@@ -1,0 +1,344 @@
+"""Fused gated dilated-conv stack — the Pallas kernel for DiffRoll's hot op.
+
+One `pallas_call` runs ALL residual layers of the DiffRoll denoiser
+(reference model/diffwave.py:107-151, 295-345: dilated Conv1d + conditioner
+add + gated tanh*sigmoid + output projection, x15 layers), with:
+
+  * grid over layers; the hidden state x and the skip accumulator live in
+    VMEM scratch across the whole stack — zero HBM round-trips between
+    layers (XLA materializes every inter-layer tensor in HBM),
+  * per-layer weights streamed HBM->VMEM by the BlockSpec pipeline,
+  * bf16 matmuls on the MXU with f32 accumulation (preferred_element_type),
+  * the k dilated-conv taps computed as k shifted (B*T, C) x (C, C') MXU
+    matmuls against a zero-padded copy of the activations — no conv op,
+    no layout transposes,
+  * per-layer dilations (base^(i % bound), reference model/diffwave.py:
+    301-304) are static: shifts execute as circular rolls (f32
+    tpu.dynamic_rotate) so every slice start stays provably aligned.
+
+Layer math (exact reference semantics, resblock.py docstring):
+    y    = x + t_bias[l]                      # FiLM-style step bias
+    a    = sum_j shift(y, (j-ctr)*d) @ Wd[l,j] + cond @ Wc[l] + b[l]
+    g    = sigmoid(a[:, :C]) * tanh(a[:, C:])
+    r, s = g @ Wo_r[l] + br[l], g @ Wo_s[l] + bs[l]
+    x    = (x + r) / sqrt(2);  skip += s
+output = skip / sqrt(L)
+
+The head (input/skip/output projections, diffusion embedding) stays in XLA
+— it is tiny and fuses fine there.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT_HALF = 0.7071067811865476
+
+
+class GatedStackWeights(NamedTuple):
+    """Per-layer weights stacked on a leading L axis.
+
+    wd:   (L, k, C, 2C)  dilated conv taps (tap j = time offset (j-k//2)*d)
+    wc:   (L, M, 2C)     conditioner 1x1 conv (M = padded cond width), or None
+    wo:   (L, C, 2C)     output projection ([:, :, :C] residual, [:, :, C:] skip)
+    b:    (L, 2C)        dilated conv bias + conditioner bias (pre-summed)
+    bo:   (L, 2C)        output projection bias
+    wt:   (L, E, C)      diffusion_projection (t_emb E=512 -> C), host side
+    bt:   (L, C)
+    """
+
+    wd: jnp.ndarray
+    wc: Optional[jnp.ndarray]
+    wo: jnp.ndarray
+    b: jnp.ndarray
+    bo: jnp.ndarray
+    wt: jnp.ndarray
+    bt: jnp.ndarray
+
+
+def stack_weights(params, n_layers: int, cond_pad: int = 256) -> GatedStackWeights:
+    """Stack a DiffRollNet params tree's residual layers for the fused op.
+
+    `params` is the {'params': ...} tree from `DiffRollNet.init`. The
+    conditioner width is zero-padded to `cond_pad` (lane alignment).
+    Runs under jit; with constant params XLA hoists it out of sampling scans.
+    """
+    p = params["params"] if "params" in params else params
+    layers = [p[f"residual_layers_{i}"] for i in range(n_layers)]
+
+    def get(name, leaf):
+        return jnp.stack([l[name][leaf] for l in layers])
+
+    wd = get("dilated_conv", "kernel")          # (L, k, C, 2C)
+    b = get("dilated_conv", "bias")             # (L, 2C)
+    wo = get("output_projection", "kernel")[:, 0]   # (L, 1, C, 2C) -> (L, C, 2C)
+    bo = get("output_projection", "bias")
+    wt = get("diffusion_projection", "kernel")  # (L, E, C)
+    bt = get("diffusion_projection", "bias")
+
+    wc = None
+    if "conditioner_projection" in layers[0]:
+        wc_raw = get("conditioner_projection", "kernel")[:, 0]  # (L, M0, 2C)
+        b = b + get("conditioner_projection", "bias")
+        m0 = wc_raw.shape[1]
+        if m0 < cond_pad:
+            wc = jnp.pad(wc_raw, ((0, 0), (0, cond_pad - m0), (0, 0)))
+        else:
+            wc = wc_raw
+    return GatedStackWeights(wd=wd, wc=wc, wo=wo, b=b, bo=bo, wt=wt, bt=bt)
+
+
+def _pad_cond(cond: jnp.ndarray, cond_pad: int) -> jnp.ndarray:
+    m = cond.shape[-1]
+    if m < cond_pad:
+        return jnp.pad(cond, ((0, 0), (0, 0), (0, cond_pad - m)))
+    return cond
+
+
+# --------------------------------------------------------------------- XLA
+
+def gated_stack_xla(
+    x: jnp.ndarray,
+    t_bias: jnp.ndarray,
+    cond: Optional[jnp.ndarray],
+    w: GatedStackWeights,
+    dilations,
+) -> jnp.ndarray:
+    """Reference implementation in plain XLA (any backend, f32).
+
+    Semantically identical to the Pallas kernel; used for tests and as the
+    CPU/GPU fallback. x (B, T, C); t_bias (L, B, C); cond (B, T, M)|None.
+    """
+    n_layers, k = w.wd.shape[0], w.wd.shape[1]
+    ctr = k // 2
+    skip_sum = jnp.zeros_like(x)
+    cond_terms = None
+    if cond is not None:
+        cond = _pad_cond(cond, w.wc.shape[1])
+        # (L, B, T, 2C) — one einsum for all layers
+        cond_terms = jnp.einsum("btm,lmc->lbtc", cond, w.wc)
+
+    for i in range(n_layers):
+        d = int(dilations[i])
+        y = x + t_bias[i][:, None, :]
+        acc = jnp.zeros(x.shape[:2] + (w.wd.shape[-1],), jnp.float32)
+        for j in range(k):
+            off = (j - ctr) * d
+            if off < 0:
+                shifted = jnp.pad(y[:, : off or None], ((0, 0), (-off, 0), (0, 0)))
+            elif off > 0:
+                shifted = jnp.pad(y[:, off:], ((0, 0), (0, off), (0, 0)))
+            else:
+                shifted = y
+            acc = acc + jnp.einsum("btc,cd->btd", shifted, w.wd[i, j])
+        acc = acc + w.b[i]
+        if cond_terms is not None:
+            acc = acc + cond_terms[i]
+        c = x.shape[-1]
+        g = jax.nn.sigmoid(acc[..., :c]) * jnp.tanh(acc[..., c:])
+        out = jnp.einsum("btc,cd->btd", g, w.wo[i]) + w.bo[i]
+        x = (x + out[..., :c]) * _SQRT_HALF
+        skip_sum = skip_sum + out[..., c:]
+    return skip_sum / math.sqrt(n_layers)
+
+
+# ------------------------------------------------------------------ Pallas
+
+def _kernel(
+    x_ref,                        # (B, T, C) bf16 input
+    cond_ref,                     # (B, T, M) bf16 (or None — see factory)
+    tb_ref,                       # (1, B, C) f32 per-layer time bias
+    wd_ref,                       # (1, k, C, 2C) bf16
+    wc_ref,                       # (1, M, 2C) bf16 (or None)
+    b_ref,                        # (1, 1, 2C) f32
+    wo_ref,                       # (1, C, 2C) bf16
+    bo_ref,                       # (1, 1, 2C) f32
+    out_ref,                      # (B, T, C) f32 skip accumulator/output
+    x_buf,                        # scratch (B, T, C) bf16
+    ypad,                         # scratch (B, T + 2*PAD, C) f32 (dynamic
+                                  #   rotate needs 32-bit data)
+    *,
+    n_layers: int,
+    taps: int,
+    pad: int,
+    conditional: bool,
+    dilations: tuple,
+):
+    i = pl.program_id(0)
+    bsz, t_len, c = x_buf.shape
+
+    @pl.when(i == 0)
+    def _init():
+        x_buf[:] = x_ref[:]
+        # the output block doubles as the skip accumulator (saves a VMEM
+        # scratch buffer; its index map is constant so it stays resident)
+        out_ref[:] = jnp.zeros_like(out_ref)
+        if pad:
+            ypad[:, :pad, :] = jnp.zeros((bsz, pad, c), ypad.dtype)
+            ypad[:, t_len + pad:, :] = jnp.zeros((bsz, pad, c), ypad.dtype)
+
+    x = x_buf[:]
+    # FiLM step bias in f32; ypad stays f32 (tpu.dynamic_rotate is 32-bit
+    # only), taps are cast to bf16 after the roll for the MXU
+    y = x.astype(jnp.float32) + tb_ref[0][:, None, :]
+    ypad[:, pad: t_len + pad, :] = y
+
+    two_c = b_ref.shape[-1]
+    acc = jnp.broadcast_to(b_ref[0, 0][None, None, :],
+                           (bsz, t_len, two_c)).astype(jnp.float32)
+    if conditional:
+        acc = acc + jax.lax.dot_general(
+            cond_ref[:], wc_ref[0],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # The dilated taps. Mosaic cannot prove alignment of a dynamic sublane
+    # slice start, so instead of slicing ypad at offset (pad + off) we
+    # circular-roll it so that offset lands at index 0 and take an ALIGNED
+    # static slice [0:T]. The zero halo guarantees the same semantics as a
+    # zero-padded shift; the wrapped-around tail lies beyond T and is never
+    # read. The per-layer dilation is a scalar built from static selects.
+    ctr = taps // 2
+    ypv = ypad[:]
+    t_padded = ypv.shape[1]
+    d_val = jnp.int32(dilations[0])
+    for layer_idx, d in enumerate(dilations):
+        d_val = jnp.where(i == layer_idx, jnp.int32(d), d_val)
+
+    for j in range(taps):
+        if j == ctr:
+            # center tap: no shift — static aligned slice (pad % 8 == 0)
+            shifted = ypv[:, pad: pad + t_len, :].astype(jnp.bfloat16)
+        else:
+            off = (j - ctr) * d_val                   # in [-pad, pad]
+            rolled = pltpu.roll(ypv, t_padded - pad - off, axis=1)
+            shifted = rolled[:, :t_len, :].astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(
+            shifted, wd_ref[0, j],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    g = (jax.nn.sigmoid(acc[..., :c]) * jnp.tanh(acc[..., c:])).astype(x.dtype)
+    out = jax.lax.dot_general(
+        g, wo_ref[0],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[0, 0][None, None, :]
+
+    x_buf[:] = ((x.astype(jnp.float32) + out[..., :c]) * _SQRT_HALF).astype(x.dtype)
+    out_ref[:] = out_ref[:] + out[..., c:]
+
+    @pl.when(i == n_layers - 1)
+    def _done():
+        out_ref[:] = out_ref[:] * (1.0 / math.sqrt(n_layers))
+
+
+@functools.partial(jax.jit, static_argnames=("dilations", "interpret"))
+def gated_stack_pallas(
+    x: jnp.ndarray,
+    t_bias: jnp.ndarray,
+    cond: Optional[jnp.ndarray],
+    w: GatedStackWeights,
+    dilations,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas TPU path. x (B, T, C) f32; returns skip output (B, T, C) f32.
+
+    `dilations` must be a static tuple — the max sets the halo padding and
+    the distinct values become static-shift branches inside the kernel.
+    """
+    n_layers, taps, c, two_c = w.wd.shape
+    bsz, t_len, _ = x.shape
+    pad = (taps // 2) * max(dilations)
+    conditional = cond is not None
+    bf = jnp.bfloat16
+
+    x16 = x.astype(bf)
+    tb = t_bias.astype(jnp.float32)
+
+    operands = [x16]
+    in_specs = [pl.BlockSpec((bsz, t_len, c), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if conditional:
+        m = w.wc.shape[1]
+        operands.append(_pad_cond(cond, m).astype(bf))
+        in_specs.append(pl.BlockSpec((bsz, t_len, m), lambda i, *_: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    operands.append(tb)
+    in_specs.append(pl.BlockSpec((1, bsz, c), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(w.wd.astype(bf))
+    in_specs.append(pl.BlockSpec((1, taps, c, two_c), lambda i, *_: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    if conditional:
+        operands.append(w.wc.astype(bf))
+        in_specs.append(pl.BlockSpec((1, w.wc.shape[1], two_c),
+                                     lambda i, *_: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    operands.append(w.b.astype(jnp.float32)[:, None, :])   # (L, 1, 2C)
+    in_specs.append(pl.BlockSpec((1, 1, two_c), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(w.wo.astype(bf))
+    in_specs.append(pl.BlockSpec((1, c, two_c), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(w.bo.astype(jnp.float32)[:, None, :])  # (L, 1, 2C)
+    in_specs.append(pl.BlockSpec((1, 1, two_c), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
+
+    def kernel(*refs):
+        if conditional:
+            (x_ref, cond_ref, tb_ref, wd_ref, wc_ref, b_ref, wo_ref, bo_ref,
+             out_ref, x_buf, ypad) = refs
+        else:
+            (x_ref, tb_ref, wd_ref, b_ref, wo_ref, bo_ref,
+             out_ref, x_buf, ypad) = refs
+            cond_ref = wc_ref = None
+        _kernel(x_ref, cond_ref, tb_ref, wd_ref, wc_ref, b_ref,
+                wo_ref, bo_ref, out_ref, x_buf, ypad,
+                n_layers=n_layers, taps=taps, pad=pad,
+                conditional=conditional, dilations=tuple(dilations))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_layers,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bsz, t_len, c), lambda i, *_: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, t_len, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bsz, t_len, c), bf),
+            pltpu.VMEM((bsz, t_len + 2 * pad, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # the default scoped-vmem budget is 16 MiB; v5e has headroom
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def gated_stack(
+    x: jnp.ndarray,
+    t_bias: jnp.ndarray,
+    cond: Optional[jnp.ndarray],
+    w: GatedStackWeights,
+    dilations,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Dispatch: Pallas on TPU, XLA elsewhere (or when use_pallas=False)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    dilations = tuple(int(d) for d in dilations)
+    if use_pallas:
+        return gated_stack_pallas(x, t_bias, cond, w, dilations)
+    return gated_stack_xla(x, t_bias, cond, w, dilations)

@@ -57,6 +57,10 @@ class TaskConfig:
     inpainting_f: Optional[Sequence[int]] = None
     debug: bool = False                 # conditioner := ground-truth roll
     lr: float = 5e-5
+    # sampler fast path: the whole residual stack as ONE fused Pallas
+    # kernel per step (ops/gated_stack.py). None = auto (on whenever the
+    # model family supports it; Pallas on TPU, fused XLA elsewhere).
+    use_fused: Optional[bool] = None
 
     def replace(self, **kw) -> "TaskConfig":
         return dataclasses.replace(self, **kw)
@@ -168,18 +172,64 @@ class DiffusionTask:
         cfg = self.config
         step_fn, param_kind, guided, _ = SAMPLER_TABLE[cfg.sampling_type]
         model, schedule = self.model, self.schedule
+        mc = model.config
         generation = cfg.sampling_type.startswith("generation")
 
-        def predict(x, t_vec):
-            if cond is None or model.config.unconditional:
-                return model.apply(params, x, t_vec, None, None)
-            if generation:
-                all_mask = jnp.ones((x.shape[0],), bool)
-                return model.apply(params, x, t_vec, cond, all_mask)
-            if guided:
-                pc, pu = model.apply_cfg(params, x, t_vec, cond)
-                return cfg_mix(pc, pu, cfg.w)
-            return model.apply(params, x, t_vec, cond, None)
+        from ..ops import fused_forward, stack_weights, supports_fused
+
+        fused = supports_fused(mc) if cfg.use_fused is None else (
+            cfg.use_fused and supports_fused(mc))
+
+        if fused:
+            # ONE fused Pallas kernel per step for the whole residual stack
+            # (ops/gated_stack.py). The 'fixed' unconditional substitution
+            # (spec := -1, reference model/diffwave.py:656-660) is applied
+            # to the raw conditioner here, once per clip.
+            weights = stack_weights(params, mc.residual_layers)
+            dil = tuple(mc.dilation_base ** (i % mc.dilation_bound)
+                        for i in range(mc.residual_layers))
+
+            def net(x, t_vec, c):
+                return fused_forward(
+                    params, x, t_vec, c, n_layers=mc.residual_layers,
+                    dilations=dil, max_steps=mc.timesteps, weights=weights)
+
+            if cond is None or mc.unconditional:
+                predict = lambda x, t_vec: net(x, t_vec, None)
+            elif generation:
+                uncond = jnp.full_like(cond, -1.0)
+                predict = lambda x, t_vec: net(x, t_vec, uncond)
+            elif guided:
+                cond2 = jnp.concatenate([cond, jnp.full_like(cond, -1.0)], 0)
+
+                def predict(x, t_vec):
+                    b = x.shape[0]
+                    out = net(jnp.concatenate([x, x], 0),
+                              jnp.concatenate([t_vec, t_vec], 0), cond2)
+                    return cfg_mix(out[:b], out[b:], cfg.w)
+            else:
+                predict = lambda x, t_vec: net(x, t_vec, cond)
+        else:
+            # flax path with per-clip precomputed conditioner projections
+            # (the reference re-projects inside every forward,
+            # model/diffwave.py:143)
+            if cond is None or mc.unconditional:
+                proj = None
+            elif generation:
+                all_mask = jnp.ones((cond.shape[0],), bool)
+                proj = model.cond_projections(params, cond, all_mask)
+            elif guided:
+                proj = model.cfg_cond_projections(params, cond)
+            else:
+                proj = model.cond_projections(params, cond)
+
+            def predict(x, t_vec):
+                if proj is None:
+                    return model.apply(params, x, t_vec, None, None)
+                if guided:
+                    pc, pu = model.apply_cfg(params, x, t_vec, cond_proj=proj)
+                    return cfg_mix(pc, pu, cfg.w)
+                return model.apply(params, x, t_vec, None, cond_proj=proj)
 
         del param_kind  # the model's output already matches the sampler family
 

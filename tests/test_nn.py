@@ -51,8 +51,13 @@ def test_resblock_shapes_and_residual_scale():
     x = jax.random.normal(jax.random.key(0), (B, T, 16))
     t_emb = jax.random.normal(jax.random.key(1), (B, 512))
     cond = jax.random.normal(jax.random.key(2), (B, T, M))
-    params = blk.init(jax.random.key(3), x, t_emb, cond)
-    out, skip = blk.apply(params, x, t_emb, cond)
+    # conditioner projection is a separate entry point (computed once per
+    # clip by samplers); project first, then run the gated block
+    params = blk.init(jax.random.key(3), cond, method="cond_proj")
+    proj = blk.apply(params, cond, method="cond_proj")
+    assert proj.shape == (B, T, 32)
+    params = blk.init(jax.random.key(3), x, t_emb, proj)
+    out, skip = blk.apply(params, x, t_emb, proj)
     assert out.shape == (B, T, 16) and skip.shape == (B, T, 16)
 
 
