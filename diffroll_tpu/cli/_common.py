@@ -55,6 +55,10 @@ def build_loader(cfg: ExperimentConfig, dataset, split: str) -> DataLoader:
     )
 
 
+def task_lr(cfg: ExperimentConfig) -> float:
+    return cfg.baseline.lr if cfg.task_type == "baseline" else cfg.task.lr
+
+
 def make_run_dir(cfg: ExperimentConfig, kind: str) -> pathlib.Path:
     """outputs/<date>/<run-name> — the Hydra-run-dir equivalent
     (reference README.md:50)."""
@@ -65,13 +69,19 @@ def make_run_dir(cfg: ExperimentConfig, kind: str) -> pathlib.Path:
     return run_dir
 
 
-def setup_model_task(cfg: ExperimentConfig) -> Tuple[Any, DiffusionTask]:
+def setup_model_task(cfg: ExperimentConfig):
     model = models.DiffRollModel(cfg.model)
+    if cfg.task_type == "baseline":
+        from ..tasks.baseline import BaselineTask
+
+        return model, BaselineTask(model, cfg.baseline)
     return model, DiffusionTask(model, cfg.task)
 
 
 def config_record(cfg: ExperimentConfig) -> Dict[str, Any]:
-    return {"model_name": cfg.model_name, "model": cfg.model, "task": cfg.task}
+    return {"model_name": cfg.model_name, "model": cfg.model,
+            "task": cfg.task, "task_type": cfg.task_type,
+            "baseline": cfg.baseline}
 
 
 def load_pretrained(
@@ -92,10 +102,11 @@ def load_pretrained(
     cfg = cfg.replace(
         model=model_cfg,
         model_name=stored.get("model_name", cfg.model_name),
+        task_type=stored.get("task_type", cfg.task_type),
         task=cfg.task.replace(timesteps=model_cfg.timesteps),
     )
     model, task = setup_model_task(cfg)
-    tx = make_optimizer(cfg.task.lr)
+    tx = make_optimizer(task_lr(cfg))
     abstract = jax.eval_shape(
         lambda k: TrainState.create(model.init(k), tx), jax.random.key(0)
     )

@@ -38,10 +38,10 @@ def main(argv: Optional[List[str]] = None):
 
     if cfg.pretrained_path:
         cfg, model, task, state = _common.load_pretrained(cfg)
-        tx = make_optimizer(cfg.task.lr)
+        tx = make_optimizer(_common.task_lr(cfg))
     else:
         model, task = _common.setup_model_task(cfg)
-        tx = make_optimizer(cfg.task.lr)
+        tx = make_optimizer(_common.task_lr(cfg))
         params = model.init(jax.random.key(cfg.trainer.seed))
         state = TrainState.create(params, tx)
 

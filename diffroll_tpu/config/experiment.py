@@ -12,6 +12,7 @@ import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
 from ..models.base import DiffRollConfig
+from ..tasks.baseline import BaselineConfig
 from ..tasks.diffusion import TaskConfig
 
 
@@ -84,7 +85,11 @@ class ExperimentConfig:
 
     model_name: str = "ClassifierFreeDiffRoll"
     model: DiffRollConfig = DiffRollConfig()
+    # 'diffusion' -> DiffusionTask(task); 'baseline' -> BaselineTask(baseline)
+    # (reference task/baseline.py's discriminative one-shot regression)
+    task_type: str = "diffusion"
     task: TaskConfig = TaskConfig()
+    baseline: BaselineConfig = BaselineConfig()
     dataset: DatasetConfig = DatasetConfig()
     # second dataset for the dual-loss recipe (reference continue_train_both.py)
     dataset2: Optional[DatasetConfig] = None

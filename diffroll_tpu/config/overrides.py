@@ -108,6 +108,14 @@ def apply_overrides(cfg: Any, overrides: Dict[str, Any]) -> Any:
                 f"choices: {sorted(fields)}"
             )
         child = updates.get(name, getattr(cfg, name))
+        if child is None:
+            # Optional group (e.g. dataset2): instantiate its default so
+            # dotted overrides can populate it
+            ann = typing.get_type_hints(type(cfg)).get(name)
+            dc_args = [a for a in typing.get_args(ann)
+                       if dataclasses.is_dataclass(a)]
+            if dc_args:
+                child = dc_args[0]()
         if not (dataclasses.is_dataclass(child) and not isinstance(child, type)):
             raise KeyError(f"config key {name!r} is not a group; cannot set {sub}")
         updates[name] = apply_overrides(child, sub)

@@ -80,8 +80,18 @@ _PIANOROLL = _base("Unet").replace(
 )
 _INFER = _PIANOROLL
 
+# reference config/task/baseline.yaml + config/model/DiffRollBaseline.yaml:
+# discriminative one-shot spec->roll regression (k=7, no dilation)
+_BASELINE = _SPEC_ROLL.replace(
+    model_name="DiffRollBaseline",
+    model=MODEL_PRESETS["DiffRollBaseline"],
+    task_type="baseline",
+    trainer=_SPEC_ROLL.trainer.replace(monitor="val/amt_loss"),
+)
+
 PRESETS: Dict[str, ExperimentConfig] = {
     "spec_roll": _SPEC_ROLL,
+    "baseline": _BASELINE,
     "unsupervised_pretrained": _UNSUP,
     "test": _TEST,
     "sampling": _SAMPLING,

@@ -155,7 +155,9 @@ class DiffusionTask:
                 {"pred_roll2": pred2, "label_roll2": roll2, "spec2": cond2}
             )
 
-        total = sum(losses[k] for k in cfg.loss_keys)
+        # validation batches of a dual-dataset run are single-dataset: sum
+        # only the loss keys that were actually produced
+        total = sum(losses[k] for k in cfg.loss_keys if k in losses)
         return total, (losses, tensors)
 
     # ------------------------------------------------------------- sampling

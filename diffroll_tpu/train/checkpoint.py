@@ -25,6 +25,7 @@ import orbax.checkpoint as ocp
 
 from ..dsp.mel import MelConfig
 from ..models.base import DiffRollConfig
+from ..tasks.baseline import BaselineConfig
 from ..tasks.diffusion import TaskConfig
 
 
@@ -55,6 +56,7 @@ def _to_jsonable(obj: Any) -> Any:
 _DATACLASSES = {
     "DiffRollConfig": DiffRollConfig,
     "TaskConfig": TaskConfig,
+    "BaselineConfig": BaselineConfig,
     "MelConfig": MelConfig,
 }
 

@@ -176,6 +176,52 @@ def test_cli_generation_needs_no_audio(maps_tree, tmp_path):
     assert len(sorted(run_dir.glob("*.npz"))) >= 2
 
 
+def test_cli_baseline_task(maps_tree, tmp_path):
+    """The discriminative baseline recipe (reference task/baseline.py)
+    trains and evaluates through the same entries."""
+    from diffroll_tpu.cli import train as train_cli
+
+    out = tmp_path / "out"
+    train_cli.main(["baseline", *_tiny_args(maps_tree, out)])
+    metrics = json.loads(sorted(out.rglob("test_metrics.json"))[0].read_text())
+    assert 0.0 <= metrics["frame_f1"] <= 1.0
+
+
+def test_cli_dual_dataset_finetune(maps_tree, tmp_path):
+    """continue_train_both equivalent: dual-loss fine-tuning from a ckpt
+    (reference continue_train_both.py:44-47)."""
+    from diffroll_tpu.cli import train as train_cli
+
+    out = tmp_path / "out"
+    train_cli.main(["spec_roll", *_tiny_args(maps_tree, out)])
+    ckpt = sorted(out.rglob("checkpoints"))[0]
+    # both datasets point at the same synthetic MAPS tree
+    train_cli.main([
+        "spec_roll", "dual", f"pretrained_path={ckpt}",
+        "dataset2.name=MAPS", f"dataset2.root={maps_tree}",
+        f"dataset2.sequence_length={SEQ}",
+        *_tiny_args(maps_tree, out),
+    ])
+    logs = sorted(out.rglob("metrics.jsonl"))
+    text = "".join(p.read_text() for p in logs)
+    assert "unconditional_diffusion_loss" in text
+
+
+def test_cli_inpainting_sample(maps_tree, tmp_path):
+    from diffroll_tpu.cli import sample as sample_cli
+    from diffroll_tpu.cli import train as train_cli
+
+    out = tmp_path / "out"
+    train_cli.main(["spec_roll", *_tiny_args(maps_tree, out)])
+    ckpt = sorted(out.rglob("checkpoints"))[0]
+    run_dir = sample_cli.main([
+        f"pretrained_path={ckpt}", "dataset.name=MAPS", "num_samples=2",
+        "task.sampling_type=inpainting_ddpm_x0", "task.inpainting_t=[10,30]",
+        *_tiny_args(maps_tree, out),
+    ])
+    assert len(sorted(run_dir.glob("*.npz"))) == 2
+
+
 def test_cli_infer_unet(maps_tree, tmp_path):
     from diffroll_tpu.cli import infer as infer_cli
     from diffroll_tpu.cli import train as train_cli
