@@ -24,13 +24,14 @@ def _dispatch(argv):
             jax.config.update("jax_platforms", tok.split("=", 1)[1])
             argv.remove(tok)
 
-    from .cli import infer, sample, test, train
+    from .cli import infer, sample, test, train, transcribe
 
     commands = {
         "train": train.main,
         "test": test.main,
         "sample": sample.main,
         "infer": infer.main,
+        "transcribe": transcribe.main,
     }
     if not argv or argv[0] in ("-h", "--help") or argv[0] not in commands:
         print(__doc__)
