@@ -33,6 +33,19 @@ def rasterize_notes(
     max_midi: int = 108,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (frame_roll, onset_roll), both (n_frames, max-min+1) float32."""
+    notes = list(notes)
+    from .. import native
+
+    if notes and native.available():
+        out = native.rasterize(
+            np.array([n.onset for n in notes]),
+            np.array([n.offset for n in notes]),
+            np.array([n.pitch for n in notes]),
+            n_frames, hop_length, sample_rate, min_midi, max_midi,
+        )
+        if out is not None:
+            return out
+
     n_pitches = max_midi - min_midi + 1
     frame = np.zeros((n_frames, n_pitches), np.float32)
     onset = np.zeros((n_frames, n_pitches), np.float32)

@@ -39,6 +39,14 @@ def extract_notes(
     on = np.asarray(onsets) > onset_threshold
     fr = np.asarray(frames) > frame_threshold
 
+    if rule in ("rule1", "rule2"):
+        from .. import native
+
+        if native.available():
+            out = native.extract_notes(on, fr, rule1=(rule == "rule1"))
+            if out is not None:
+                return out
+
     onset_diff = np.concatenate([on[:1], on[1:] & ~on[:-1]], axis=0)
     if rule == "rule1":
         onset_diff &= fr  # require onset AND frame (reference :1208-1210)

@@ -116,12 +116,22 @@ def write_wav(path: str | pathlib.Path, samples: np.ndarray, sample_rate: int) -
         w.writeframes(pcm.tobytes())
 
 
-def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resampling along the last axis (torchaudio.Resample
-    equivalent for the data pipeline)."""
-    if orig_sr == target_sr:
-        return x
+def _resample_scipy(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     from scipy.signal import resample_poly
 
     g = math.gcd(int(orig_sr), int(target_sr))
     return resample_poly(x, target_sr // g, orig_sr // g, axis=-1).astype(x.dtype)
+
+
+def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling along the last axis (torchaudio.Resample
+    equivalent for the data pipeline). Uses the first-party C++ polyphase
+    kernel (diffroll_tpu.native) when the toolchain is available; scipy
+    otherwise."""
+    if orig_sr == target_sr:
+        return x
+    from .. import native
+
+    if native.available():
+        return native.resample(x, orig_sr, target_sr)
+    return _resample_scipy(x, orig_sr, target_sr)
