@@ -96,10 +96,10 @@ class BaselineTask:
         an x0-parameterised DDPM walk where the network ignores t anyway."""
         cond = self.model.conditioner(waveform=waveform)
 
-        def step(x, t, k):
+        def step(x, t, t_prev, k):
             t_vec = jnp.full((x.shape[0],), t, jnp.int32)
             x0 = self.model.apply(params, x, t_vec, cond, None)
-            return ddpm_x0_step(self.schedule, x, t, x0, k)
+            return ddpm_x0_step(self.schedule, x, t, x0, k, t_prev=t_prev)
 
         return sample_loop(step, x_T, self.config.timesteps, key, record_every)
 

@@ -44,6 +44,10 @@ class TaskConfig:
     """Mirrors the reference task yaml group (config/task/*.yaml)."""
 
     timesteps: int = 200
+    # strided few-step sampling: visit only N evenly spaced timesteps of
+    # the T-step schedule (DDIM-family recommended; no reference
+    # counterpart — the reference always walks all T steps)
+    sampling_steps: Optional[int] = None
     beta_start: float = 1e-4
     beta_end: float = 0.02
     loss_type: str = "l2"
@@ -235,10 +239,10 @@ class DiffusionTask:
 
         del param_kind  # the model's output already matches the sampler family
 
-        def step(x, t, key):
+        def step(x, t, t_prev, key):
             t_vec = jnp.full((x.shape[0],), t, jnp.int32)
             pred = predict(x, t_vec)
-            return step_fn(schedule, x, t, pred, key)
+            return step_fn(schedule, x, t, pred, key, t_prev=t_prev)
 
         return step
 
@@ -268,7 +272,8 @@ class DiffusionTask:
                 )
         step = self.make_step_fn(params, cond)
         return sample_loop(
-            step, x_T, self.config.timesteps, key, record_every=record_every
+            step, x_T, self.config.timesteps, key,
+            record_every=record_every, steps=self.config.sampling_steps,
         )
 
     def sample_jit(self, donate: bool = True):

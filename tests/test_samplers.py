@@ -160,8 +160,8 @@ def test_sample_loop_perfect_oracle_recovers_x0():
     s = _sched()
     x_true = jnp.asarray(np.random.default_rng(10).normal(size=SHAPE).astype(np.float32))
 
-    def step(x, t, key):
-        return samplers.ddim_x0_step(s, x, t, x_true)
+    def step(x, t, t_prev, key):
+        return samplers.ddim_x0_step(s, x, t, x_true, t_prev=t_prev)
 
     xT = jax.random.normal(jax.random.PRNGKey(0), SHAPE)
     x0, traj = sample_loop(step, xT, T, jax.random.PRNGKey(1))
@@ -173,8 +173,8 @@ def test_sample_loop_perfect_oracle_recovers_x0():
 def test_sample_loop_trajectory_recording():
     s = _sched()
 
-    def step(x, t, key):
-        return samplers.ddim_x0_step(s, x, t, jnp.zeros_like(x))
+    def step(x, t, t_prev, key):
+        return samplers.ddim_x0_step(s, x, t, jnp.zeros_like(x), t_prev=t_prev)
 
     xT = jax.random.normal(jax.random.PRNGKey(2), SHAPE)
     x0, traj = sample_loop(step, xT, T, jax.random.PRNGKey(3), record_every=10)
@@ -185,8 +185,8 @@ def test_sample_loop_trajectory_recording():
 def test_sample_loop_is_jittable_and_deterministic():
     s = _sched()
 
-    def step(x, t, key):
-        return samplers.ddpm_x0_step(s, x, t, jnp.tanh(x), key)
+    def step(x, t, t_prev, key):
+        return samplers.ddpm_x0_step(s, x, t, jnp.tanh(x), key, t_prev=t_prev)
 
     run = jax.jit(lambda xT, key: sample_loop(step, xT, T, key)[0])
     xT = jax.random.normal(jax.random.PRNGKey(4), SHAPE)
@@ -195,3 +195,60 @@ def test_sample_loop_is_jittable_and_deterministic():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     c = run(xT, jax.random.PRNGKey(6))
     assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_timestep_subsequence():
+    from diffroll_tpu.diffusion.loop import timestep_subsequence
+
+    ts = timestep_subsequence(200, None)
+    assert ts[0] == 199 and ts[-1] == 0 and len(ts) == 200
+    ts = timestep_subsequence(200, 25)
+    assert ts[0] == 199 and ts[-1] == 0 and len(ts) == 25
+    assert (np.diff(ts) < 0).all()
+    ts = timestep_subsequence(10, 50)  # more steps than T -> dense
+    assert len(ts) == 10
+
+
+def test_strided_ddim_oracle_recovers_x0():
+    """Strided DDIM with a perfect x0 oracle converges just like dense."""
+    s = _sched()
+    x_true = jnp.asarray(
+        np.random.default_rng(11).normal(size=SHAPE).astype(np.float32))
+
+    def step(x, t, t_prev, key):
+        return samplers.ddim_x0_step(s, x, t, x_true, t_prev=t_prev)
+
+    xT = jax.random.normal(jax.random.PRNGKey(7), SHAPE)
+    x0, _ = sample_loop(step, xT, T, jax.random.PRNGKey(8), steps=8)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x_true),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_strided_sigma_matches_posterior_variance_adjacent():
+    """The generalized ancestral sigma equals sqrt(posterior_variance[t])
+    for adjacent steps (the reference's dense schedule)."""
+    s = _sched()
+    from diffroll_tpu.diffusion.samplers import _sigma
+
+    for t in [1, 5, T // 2, T - 1]:
+        sig = float(_sigma(s, jnp.int32(t), jnp.int32(t - 1)))
+        ref = float(jnp.sqrt(s.posterior_variance[t]))
+        np.testing.assert_allclose(sig, ref, rtol=1e-4)  # fp32 sqrt paths
+
+
+def test_task_sampling_steps_end_to_end():
+    """TaskConfig.sampling_steps runs the strided loop through the task."""
+    from diffroll_tpu import models
+    from diffroll_tpu.tasks import DiffusionTask, TaskConfig
+
+    model = models.build("ClassifierFreeDiffRoll", residual_channels=16,
+                         residual_layers=2, frames=32, timesteps=20)
+    params = model.init(jax.random.key(0))
+    task = DiffusionTask(model, TaskConfig(
+        timesteps=20, sampling_steps=5, w=0.5, sampling_type="cfdg_ddim_x0"))
+    wav = jax.random.normal(jax.random.key(1), (2, 32 * 512))
+    x0, traj = task.sample(params, jax.random.normal(jax.random.key(2), (2, 32, 88)),
+                           jax.random.key(3), waveform=wav, record_every=1)
+    assert x0.shape == (2, 32, 88)
+    assert traj.shape[0] == 5  # one state per visited step
+    assert np.isfinite(np.asarray(x0)).all()
