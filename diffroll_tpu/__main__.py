@@ -24,7 +24,7 @@ def _dispatch(argv):
             jax.config.update("jax_platforms", tok.split("=", 1)[1])
             argv.remove(tok)
 
-    from .cli import infer, sample, test, train, transcribe
+    from .cli import infer, sample, sweep, test, train, transcribe
 
     commands = {
         "train": train.main,
@@ -32,6 +32,7 @@ def _dispatch(argv):
         "sample": sample.main,
         "infer": infer.main,
         "transcribe": transcribe.main,
+        "sweep": sweep.main,
     }
     if not argv or argv[0] in ("-h", "--help") or argv[0] not in commands:
         print(__doc__)
