@@ -86,6 +86,7 @@ class DiffRollModel:
                     c.frames * c.mel.hop_length
                 ),
                 n_mels=c.n_mels,
+                dtype=None if c.dtype in (jnp.float32, "float32") else c.dtype,
             )
         elif c.variant == "2d":
             self.net = DiffRollNet2D(

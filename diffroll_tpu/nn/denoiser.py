@@ -63,12 +63,14 @@ class DiffRollNet(nn.Module):
     frames: int = 640              # roll frames (trainable_z embedding length)
     spec_frames: int = 641         # trainable_spec parameter length
     n_mels: int = 229              # trainable_spec parameter width
+    dtype: object = None           # computation dtype (params stay f32)
 
     def setup(self):
         if self.condition not in ("fixed", "trainable_spec", "trainable_z"):
             raise ValueError(f"unrecognized condition {self.condition!r}")
         c = self.residual_channels
-        self.input_projection = nn.Conv(c, (1,), kernel_init=_conv_init)
+        self.input_projection = nn.Conv(c, (1,), kernel_init=_conv_init,
+                                        dtype=self.dtype)
         self.diffusion_embedding = DiffusionEmbedding(self.max_steps)
         self.blocks = [
             ResidualBlock(
@@ -78,11 +80,13 @@ class DiffRollNet(nn.Module):
                 conditional=not self.unconditional,
                 trainable_z=(self.condition == "trainable_z"),
                 z_frames=self.frames,
+                dtype=self.dtype,
                 name=f"residual_layers_{i}",
             )
             for i in range(self.residual_layers)
         ]
-        self.skip_projection = nn.Conv(c, (1,), kernel_init=_conv_init)
+        self.skip_projection = nn.Conv(c, (1,), kernel_init=_conv_init,
+                                       dtype=self.dtype)
         # zero-init head (reference model/diffwave.py:307, 631) so the net
         # predicts 0 at init and diffusion training starts from the prior
         self.output_projection = nn.Conv(
@@ -142,7 +146,8 @@ class DiffRollNet(nn.Module):
 
         x = skip_sum / math.sqrt(self.residual_layers)
         x = nn.relu(self.skip_projection(x))
-        return self.output_projection(x)
+        # head + loss math stay f32 regardless of the compute dtype
+        return self.output_projection(x).astype(jnp.float32)
 
 
 class DiffRollNet2D(nn.Module):

@@ -54,20 +54,22 @@ class ResidualBlock(nn.Module):
     conditional: bool = True
     trainable_z: bool = False
     z_frames: int = 640            # uncon_z length (trainable_z only)
+    dtype: object = None           # computation dtype (params stay f32)
 
     def setup(self):
         c = self.residual_channels
-        self.diffusion_projection = nn.Dense(c)
+        self.diffusion_projection = nn.Dense(c, dtype=self.dtype)
         self.dilated_conv = nn.Conv(
             2 * c,
             (self.kernel_size,),
             kernel_dilation=(self.dilation,),
             padding="SAME",
             kernel_init=_conv_init,
+            dtype=self.dtype,
         )
         if self.conditional:
             self.conditioner_projection = nn.Conv(
-                2 * c, (1,), kernel_init=_conv_init
+                2 * c, (1,), kernel_init=_conv_init, dtype=self.dtype
             )
             if self.trainable_z:
                 # learned unconditional embedding, (T, 2C) — reference keeps
@@ -78,7 +80,8 @@ class ResidualBlock(nn.Module):
                     nn.initializers.normal(stddev=0.02),
                     (self.z_frames, 2 * c),
                 )
-        self.output_projection = nn.Conv(2 * c, (1,), kernel_init=_conv_init)
+        self.output_projection = nn.Conv(2 * c, (1,), kernel_init=_conv_init,
+                                         dtype=self.dtype)
 
     def cond_proj(
         self,
@@ -122,22 +125,25 @@ class ResidualBlock2D(nn.Module):
     dilation: int = 1
     kernel_size: int = 3
     conditional: bool = True
+    dtype: object = None           # computation dtype (params stay f32)
 
     def setup(self):
         c = self.residual_channels
-        self.diffusion_projection = nn.Dense(c)
+        self.diffusion_projection = nn.Dense(c, dtype=self.dtype)
         self.dilated_conv = nn.Conv(
             2 * c,
             (self.kernel_size, self.kernel_size),
             kernel_dilation=(self.dilation, self.dilation),
             padding="SAME",
             kernel_init=_conv_init,
+            dtype=self.dtype,
         )
         if self.conditional:
             self.conditioner_projection = nn.Conv(
-                2 * c, (1, 1), kernel_init=_conv_init
+                2 * c, (1, 1), kernel_init=_conv_init, dtype=self.dtype
             )
-        self.output_projection = nn.Conv(2 * c, (1, 1), kernel_init=_conv_init)
+        self.output_projection = nn.Conv(2 * c, (1, 1), kernel_init=_conv_init,
+                                         dtype=self.dtype)
 
     def cond_proj(
         self,
