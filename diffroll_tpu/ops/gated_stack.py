@@ -171,6 +171,7 @@ def _kernel(
     pad: int,
     conditional: bool,
     dilations: tuple,
+    static_shifts: bool,
 ):
     i = pl.program_id(0)
     bsz, t_len, c = x_buf.shape
@@ -186,10 +187,10 @@ def _kernel(
             ypad[:, t_len + pad:, :] = jnp.zeros((bsz, pad, c), ypad.dtype)
 
     x = x_buf[:]
-    # FiLM step bias in f32; ypad stays f32 (tpu.dynamic_rotate is 32-bit
-    # only), taps are cast to bf16 after the roll for the MXU
+    # FiLM step bias in f32; ypad is f32 in roll mode (tpu.dynamic_rotate is
+    # 32-bit only) and bf16 in static-shift mode
     y = x.astype(jnp.float32) + tb_ref[0][:, None, :]
-    ypad[:, pad: t_len + pad, :] = y
+    ypad[:, pad: t_len + pad, :] = y.astype(ypad.dtype)
 
     two_c = b_ref.shape[-1]
     acc = jnp.broadcast_to(b_ref[0, 0][None, None, :],
@@ -202,31 +203,61 @@ def _kernel(
         )
 
     # The dilated taps. Mosaic cannot prove alignment of a dynamic sublane
-    # slice start, so instead of slicing ypad at offset (pad + off) we
-    # circular-roll it so that offset lands at index 0 and take an ALIGNED
-    # static slice [0:T]. The zero halo guarantees the same semantics as a
-    # zero-padded shift; the wrapped-around tail lies beyond T and is never
-    # read. The per-layer dilation is a scalar built from static selects.
+    # slice start; two strategies that avoid it, selected by `static_shifts`:
+    #   * rolls: circular-roll ypad (f32 tpu.dynamic_rotate) so the offset
+    #     lands at index 0 and take an ALIGNED static slice [0:T]; the zero
+    #     halo reproduces zero-padded shift semantics and the wrapped tail
+    #     lies beyond T, never read. Dilation is a scalar from selects.
+    #   * static: one `pl.when`-guarded branch per DISTINCT dilation with
+    #     compile-time (unaligned-but-static) slices, accumulating into a
+    #     shared register value via a select.
     ctr = taps // 2
     ypv = ypad[:]
     t_padded = ypv.shape[1]
-    d_val = jnp.int32(dilations[0])
-    for layer_idx, d in enumerate(dilations):
-        d_val = jnp.where(i == layer_idx, jnp.int32(d), d_val)
 
-    for j in range(taps):
-        if j == ctr:
-            # center tap: no shift — static aligned slice (pad % 8 == 0)
-            shifted = ypv[:, pad: pad + t_len, :].astype(jnp.bfloat16)
-        else:
-            off = (j - ctr) * d_val                   # in [-pad, pad]
-            rolled = pltpu.roll(ypv, t_padded - pad - off, axis=1)
-            shifted = rolled[:, :t_len, :].astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot_general(
+    def tap_dot(shifted, j):
+        return jax.lax.dot_general(
             shifted, wd_ref[0, j],
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    if static_shifts:
+        uniq = sorted(set(dilations))
+        d_branch = jnp.int32(0)
+        for layer_idx, d in enumerate(dilations):
+            d_branch = jnp.where(i == layer_idx, jnp.int32(uniq.index(d)),
+                                 d_branch)
+
+        def branch_for(d):
+            def run():
+                a = jnp.zeros((bsz, t_len, two_c), jnp.float32)
+                for j in range(taps):
+                    start = pad + (j - ctr) * d
+                    shifted = ypv[:, start: start + t_len, :].astype(
+                        jnp.bfloat16)
+                    a = a + tap_dot(shifted, j)
+                return a
+            return run
+
+        if len(uniq) == 1:
+            acc = acc + branch_for(uniq[0])()
+        else:
+            acc = acc + jax.lax.switch(d_branch,
+                                       [branch_for(d) for d in uniq])
+    else:
+        d_val = jnp.int32(dilations[0])
+        for layer_idx, d in enumerate(dilations):
+            d_val = jnp.where(i == layer_idx, jnp.int32(d), d_val)
+        for j in range(taps):
+            if j == ctr:
+                # center tap: no shift — static slice at `pad`
+                shifted = ypv[:, pad: pad + t_len, :].astype(jnp.bfloat16)
+            else:
+                off = (j - ctr) * d_val               # in [-pad, pad]
+                rolled = pltpu.roll(ypv, t_padded - pad - off, axis=1)
+                shifted = rolled[:, :t_len, :].astype(jnp.bfloat16)
+            acc = acc + tap_dot(shifted, j)
 
     g = (jax.nn.sigmoid(acc[..., :c]) * jnp.tanh(acc[..., c:])).astype(x.dtype)
     out = jax.lax.dot_general(
@@ -243,7 +274,8 @@ def _kernel(
         out_ref[:] = out_ref[:] * (1.0 / math.sqrt(n_layers))
 
 
-@functools.partial(jax.jit, static_argnames=("dilations", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("dilations", "interpret", "static_shifts"))
 def gated_stack_pallas(
     x: jnp.ndarray,
     t_bias: jnp.ndarray,
@@ -251,6 +283,7 @@ def gated_stack_pallas(
     w: GatedStackWeights,
     dilations,
     interpret: bool = False,
+    static_shifts: bool = False,
 ) -> jnp.ndarray:
     """Pallas TPU path. x (B, T, C) f32; returns skip output (B, T, C) f32.
 
@@ -306,7 +339,8 @@ def gated_stack_pallas(
         _kernel(x_ref, cond_ref, tb_ref, wd_ref, wc_ref, b_ref,
                 wo_ref, bo_ref, out_ref, x_buf, ypad,
                 n_layers=n_layers, taps=taps, pad=pad,
-                conditional=conditional, dilations=tuple(dilations))
+                conditional=conditional, dilations=tuple(dilations),
+                static_shifts=static_shifts)
 
     return pl.pallas_call(
         kernel,
@@ -317,7 +351,8 @@ def gated_stack_pallas(
         out_shape=jax.ShapeDtypeStruct((bsz, t_len, c), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((bsz, t_len, c), bf),
-            pltpu.VMEM((bsz, t_len + 2 * pad, c), jnp.float32),
+            pltpu.VMEM((bsz, t_len + 2 * pad, c),
+                       bf if static_shifts else jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             # the default scoped-vmem budget is 16 MiB; v5e has headroom
