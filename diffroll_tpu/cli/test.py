@@ -34,14 +34,23 @@ def run_test(cfg, model, task, state) -> Dict[str, float]:
             params, x_T, key, waveform=waveform)[0]
     )
     key = jax.random.key(cfg.trainer.seed)
+    mesh = _common.setup_mesh(cfg)
+
+    def shard(x):
+        # eval clips are independent: shard them over the mesh data axis
+        if mesh is not None and x.shape[0] % mesh.shape["data"] == 0:
+            from ..parallel.mesh import batch_sharding
+
+            return jax.device_put(x, batch_sharding(mesh))
+        return x
 
     all_metrics: List[Dict[str, float]] = []
     n_clips = 0
     for batch in loader:
         frame = jnp.asarray(batch["frame"])
-        audio = jnp.asarray(batch["audio"])
+        audio = shard(jnp.asarray(batch["audio"]))
         key, noise_key, samp_key = jax.random.split(key, 3)
-        x_T = jax.random.normal(noise_key, frame.shape)
+        x_T = shard(jax.random.normal(noise_key, frame.shape))
         pred = sample(state.params, x_T, samp_key, audio)
         m = evaluate_rolls(
             np.asarray(pred), np.asarray(batch["frame"]),
