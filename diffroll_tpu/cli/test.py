@@ -25,7 +25,27 @@ from ..eval.evaluate import evaluate_rolls
 from . import _common
 
 
-def run_test(cfg, model, task, state) -> Dict[str, float]:
+def _export_batch_artifacts(run_dir, cfg, pred, batch):
+    """First-batch eval artifacts — the reference saves audio/MIDI/rolls for
+    batch 0 of every test run (reference task/diffusion.py:320-378,
+    412-426): predicted + label rolls (npz), decoded MIDI, and the input
+    audio as wav."""
+    import numpy as np
+
+    from ..io.wav import write_wav
+    from .sample import export_clip
+
+    run_dir.mkdir(parents=True, exist_ok=True)
+    pred = np.asarray(pred)
+    np.savez_compressed(run_dir / "batch0_rolls.npz",
+                        pred=pred, label=np.asarray(batch["frame"]))
+    for j in range(min(2, pred.shape[0])):
+        export_clip(run_dir, f"batch0_clip{j}", pred[j], cfg)
+        write_wav(run_dir / f"batch0_audio{j}.wav",
+                  np.asarray(batch["audio"][j]), cfg.dataset.sampling_rate)
+
+
+def run_test(cfg, model, task, state, artifacts_dir=None) -> Dict[str, float]:
     test_ds = _common.build_dataset(cfg.dataset, "test")
     loader = _common.build_loader(cfg, test_ds, "test")
 
@@ -52,6 +72,8 @@ def run_test(cfg, model, task, state) -> Dict[str, float]:
         key, noise_key, samp_key = jax.random.split(key, 3)
         x_T = shard(jax.random.normal(noise_key, frame.shape))
         pred = sample(state.params, x_T, samp_key, audio)
+        if artifacts_dir is not None and not all_metrics:
+            _export_batch_artifacts(artifacts_dir, cfg, pred, batch)
         m = evaluate_rolls(
             np.asarray(pred), np.asarray(batch["frame"]),
             frame_threshold=cfg.task.frame_threshold,
@@ -75,8 +97,8 @@ def run_test(cfg, model, task, state) -> Dict[str, float]:
 def main(argv: Optional[List[str]] = None):
     cfg, _ = from_argv(sys.argv[1:] if argv is None else argv, "test")
     cfg, model, task, state = _common.load_pretrained(cfg)
-    metrics = run_test(cfg, model, task, state)
     run_dir = _common.make_run_dir(cfg, "test")
+    metrics = run_test(cfg, model, task, state, artifacts_dir=run_dir)
     (run_dir / "test_metrics.json").write_text(json.dumps(metrics, indent=2))
     print(json.dumps(metrics))
     return metrics

@@ -91,6 +91,11 @@ def main(argv: Optional[List[str]] = None):
                           np.asarray(tensors["spec"])
                           if tensors.get("spec") is not None else None)
         logger.log_figure(int(state.step), "val/rolls", fig)
+        from ..viz import param_heatmaps
+
+        hm = param_heatmaps(state.params)
+        if hm is not None:
+            logger.log_figure(int(state.step), "val/trainable_params", hm)
         return {}
 
     print(f"run dir: {run_dir}", file=sys.stderr)

@@ -62,6 +62,34 @@ def roll_figure(
     return fig
 
 
+def param_heatmaps(params, names=("trainable_parameters", "uncon_z"),
+                   max_panels: int = 4):
+    """Heatmaps of learned unconditional embeddings — the reference logs
+    these every validation epoch (reference task/diffusion.py:282-288).
+    `params` is a flax params tree; matching leaves are rendered."""
+    plt = _mpl()
+    import jax
+
+    leaves = [
+        (jax.tree_util.keystr(path), np.asarray(leaf))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params)
+        if any(n in jax.tree_util.keystr(path) for n in names)
+        and getattr(leaf, "ndim", 0) == 2
+    ][:max_panels]
+    if not leaves:
+        return None
+    fig, axes = plt.subplots(1, len(leaves), figsize=(4 * len(leaves), 2.5),
+                             squeeze=False)
+    for ax, (name, leaf) in zip(axes[0], leaves):
+        im = ax.imshow(leaf.T, aspect="auto", origin="lower", cmap="coolwarm")
+        ax.set_title(name.split("'")[-2] if "'" in name else name, fontsize=7)
+        fig.colorbar(im, ax=ax, fraction=0.05)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.tight_layout()
+    return fig
+
+
 def animate_trajectory(trajectory: np.ndarray, clip: int = 0, fps: int = 8):
     """(S, B, T, 88) sampler trajectory -> matplotlib animation for `clip`."""
     plt = _mpl()
