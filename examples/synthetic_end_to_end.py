@@ -1,0 +1,124 @@
+"""End-to-end demonstration on synthetic audio: train the real flagship
+(spec-conditioned ClassifierFreeDiffRoll, scaled down) on sine-rendered
+"piano" clips, then transcribe held-out clips and score note/frame F1.
+
+No MAPS/MAESTRO download exists in this environment; this script builds a
+dataset where the audio <-> roll mapping is genuinely learnable (each MIDI
+note renders as a decaying harmonic tone at its fundamental), so a working
+mel front-end + conditioning + diffusion stack must reach high F1.
+
+    python examples/synthetic_end_to_end.py [steps=2000] [platform=cpu]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+ARGS = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+if ARGS.get("platform"):
+    import jax
+
+    jax.config.update("jax_platforms", ARGS["platform"])
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from diffroll_tpu import models  # noqa: E402
+from diffroll_tpu.eval.evaluate import evaluate_rolls  # noqa: E402
+from diffroll_tpu.data.rasterize import rasterize_notes  # noqa: E402
+from diffroll_tpu.io.midi import MidiNote  # noqa: E402
+from diffroll_tpu.tasks import DiffusionTask, TaskConfig  # noqa: E402
+from diffroll_tpu.train import TrainState, make_optimizer, make_train_step  # noqa: E402
+
+SR, HOP, FRAMES = 16000, 512, 128
+SEQ = FRAMES * HOP
+TIMESTEPS = 100
+
+
+def render_notes(notes, n_samples, rng):
+    """Decaying harmonic tones at each note's fundamental."""
+    t = np.arange(n_samples) / SR
+    audio = np.zeros(n_samples, np.float32)
+    for n in notes:
+        f0 = 440.0 * 2 ** ((n.pitch - 69) / 12)
+        i0, i1 = int(n.onset * SR), min(int(n.offset * SR), n_samples)
+        if i1 <= i0:
+            continue
+        seg = t[: i1 - i0]
+        env = np.exp(-3.0 * seg)
+        tone = sum((0.6 ** k) * np.sin(2 * np.pi * f0 * (k + 1) * seg + rng.uniform(0, 6.28))
+                   for k in range(3))
+        audio[i0:i1] += (0.2 * env * tone).astype(np.float32)
+    return audio + rng.normal(0, 0.003, n_samples).astype(np.float32)
+
+
+def make_clip(seed):
+    rng = np.random.RandomState(seed)
+    notes = []
+    tpos = 0.1
+    while tpos < SEQ / SR - 0.5:
+        dur = rng.uniform(0.15, 0.7)
+        for p in rng.choice(np.arange(40, 80), size=rng.randint(1, 4), replace=False):
+            notes.append(MidiNote(tpos, tpos + dur, int(p), 100))
+        tpos += rng.uniform(0.15, 0.6)
+    frame, _ = rasterize_notes(notes, FRAMES, HOP, SR)
+    return render_notes(notes, SEQ, rng), frame
+
+
+def main():
+    steps = int(ARGS.get("steps", 2000))
+    n_train, n_test, bsz = 64, 8, 8
+
+    print("building synthetic dataset...", file=sys.stderr)
+    train = [make_clip(i) for i in range(n_train)]
+    test = [make_clip(1000 + i) for i in range(n_test)]
+    train_audio = jnp.asarray(np.stack([a for a, _ in train]))
+    train_frame = jnp.asarray(np.stack([f for _, f in train]))
+    test_audio = jnp.asarray(np.stack([a for a, _ in test]))
+    test_frame = np.stack([f for _, f in test])
+
+    model = models.build(
+        "ClassifierFreeDiffRoll", residual_channels=128, residual_layers=8,
+        frames=FRAMES, timesteps=TIMESTEPS, spec_dropout=0.1,
+    )
+    task = DiffusionTask(model, TaskConfig(
+        timesteps=TIMESTEPS, training_mode="x_0", loss_type="l2", lr=4e-4,
+        sampling_type="cfdg_ddpm_x0", w=0.5))
+    params = model.init(jax.random.key(0))
+    tx = make_optimizer(task.config.lr)
+    state = TrainState.create(params, tx)
+    step = make_train_step(task.loss_fn, tx, donate_state=False)
+
+    key = jax.random.key(1)
+    t0 = time.time()
+    for i in range(steps):
+        key, bk, sk = jax.random.split(key, 3)
+        idx = jax.random.choice(bk, n_train, (bsz,), replace=False)
+        batch = {"frame": train_frame[idx], "audio": train_audio[idx]}
+        state, losses = step(state, batch, sk)
+        if i % 200 == 0 or i == steps - 1:
+            print(f"step {i}: loss {float(losses['diffusion_loss']):.4f} "
+                  f"({time.time()-t0:.0f}s)", file=sys.stderr)
+
+    print("transcribing held-out clips...", file=sys.stderr)
+    run = jax.jit(lambda p, x, k, w: task.sample(p, x, k, waveform=w)[0])
+    key, nk, sk = jax.random.split(key, 3)
+    x_T = jax.random.normal(nk, (n_test, FRAMES, 88))
+    pred = run(state.params, x_T, sk, test_audio)
+    m = evaluate_rolls(np.asarray(pred), test_frame, frame_threshold=0.5,
+                       hop_length=HOP, sample_rate=SR)
+    m["train_steps"] = steps
+    m["wall_s"] = round(time.time() - t0, 1)
+    print(json.dumps(m, indent=2))
+    return m
+
+
+if __name__ == "__main__":
+    main()
