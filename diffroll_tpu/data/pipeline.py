@@ -36,6 +36,31 @@ def collate(items: Sequence[Any]) -> Any:
     return np.stack([np.asarray(it) for it in items])
 
 
+def device_prefetch(iterator, mesh=None, size: int = 2):
+    """Overlap host->device transfer with device compute: keep `size`
+    batches in flight on the accelerator (sharded over the mesh's data
+    axis when given). The torch `pin_memory` + async-H2D equivalent for
+    the jit train loop."""
+    import collections
+
+    import jax
+
+    def put(batch):
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            return shard_batch(mesh, batch)
+        return jax.device_put(batch)
+
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class DataLoader:
     """Minimal epoch iterator: shuffle, batch, parallel fetch, prefetch."""
 

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 
 from ..config.experiment import TrainerConfig
-from ..parallel.mesh import shard_batch
+from ..data.pipeline import device_prefetch
 from ..utils.logging import MetricLogger
 from ..utils.profiling import StepTimer, trace_if
 from .checkpoint import Checkpointer
@@ -67,9 +67,8 @@ def fit(
     for epoch in range(trainer.max_epochs):
         with trace_if(trainer.profile and epoch == 0,
                       str(logger.run_dir / "profile") if logger else "/tmp/jax-trace"):
-            for batch in train_loader:
-                if mesh is not None:
-                    batch = shard_batch(mesh, batch)
+            # keep 2 batches in flight on device: H2D overlaps compute
+            for batch in device_prefetch(train_loader, mesh):
                 key, step_key = jax.random.split(key)
                 state, losses = step_fn(state, batch, step_key)
                 timer.tick(_batch_size(batch))

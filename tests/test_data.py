@@ -171,3 +171,19 @@ def test_collate_tuples():
     items = [({"x": np.ones(3)}, {"y": np.zeros(2)}) for _ in range(4)]
     out = collate(items)
     assert out[0]["x"].shape == (4, 3) and out[1]["y"].shape == (4, 2)
+
+
+def test_device_prefetch_preserves_batches(maps_tree):
+    import jax
+
+    from diffroll_tpu.data.pipeline import device_prefetch
+
+    # deterministic split: window sampling would advance the shared RNG
+    ds = MAPS(str(maps_tree), groups="test", sequence_length=4096)
+    loader = DataLoader(ds, 2, num_workers=1)
+    host = [b["frame"].copy() for b in loader]
+    loader2 = DataLoader(ds, 2, num_workers=1)
+    dev = list(device_prefetch(iter(loader2)))
+    assert len(dev) == len(host)
+    for h, d in zip(host, dev):
+        np.testing.assert_array_equal(h, np.asarray(d["frame"]))
