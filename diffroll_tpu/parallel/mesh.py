@@ -78,6 +78,15 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch onto the mesh, sharded over 'data'."""
+    """Place a host batch onto the mesh, sharded over 'data'.
+
+    On multi-host runs each process holds its OWN stripe of the global
+    batch (DataLoader's process_index slicing), so the global array must be
+    assembled from per-process shards — a bare device_put would misread the
+    local stripe as the full global array."""
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() > 1:
+        put = lambda x: jax.make_array_from_process_local_data(s, x)
+    else:
+        put = lambda x: jax.device_put(x, s)
+    return jax.tree_util.tree_map(put, batch)

@@ -63,6 +63,7 @@ def fit(
     best = math.inf
     timer = StepTimer()
     global_step = int(state.step)
+    losses: Dict[str, Any] = {}
 
     for epoch in range(trainer.max_epochs):
         with trace_if(trainer.profile and epoch == 0,
@@ -98,7 +99,7 @@ def fit(
                 monitored = val_losses.get(
                     trainer.monitor.removeprefix("val/"), None
                 )
-            elif trainer.monitor.startswith("train/"):
+            elif trainer.monitor.startswith("train/") and losses:
                 monitored = float(losses[trainer.monitor.removeprefix("train/")])
 
             if checkpointer is not None:
