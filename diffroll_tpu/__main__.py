@@ -42,4 +42,4 @@ def _dispatch(argv):
 
 
 if __name__ == "__main__":
-    sys.exit(_dispatch(sys.argv[1:]) and 0)
+    sys.exit(_dispatch(sys.argv[1:]))

@@ -59,6 +59,13 @@ def task_lr(cfg: ExperimentConfig) -> float:
     return cfg.baseline.lr if cfg.task_type == "baseline" else cfg.task.lr
 
 
+def task_threshold(cfg: ExperimentConfig) -> float:
+    """The eval binarization threshold (the baseline task uses its own —
+    reference config/task/baseline.yaml frame_threshold 0.6)."""
+    return (cfg.baseline.frame_threshold if cfg.task_type == "baseline"
+            else cfg.task.frame_threshold)
+
+
 def make_run_dir(cfg: ExperimentConfig, kind: str) -> pathlib.Path:
     """outputs/<date>/<run-name> — the Hydra-run-dir equivalent
     (reference README.md:50)."""

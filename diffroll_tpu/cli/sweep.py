@@ -40,11 +40,13 @@ def main(argv: Optional[List[str]] = None):
 
     rows = []
     for w in w_grid:
+        # one sampling pass per w; thresholding is eval-only, so every
+        # threshold is scored from the same sampled rolls
+        c = cfg.replace(task=cfg.task.replace(w=w))
+        _, t = _common.setup_model_task(c)
+        by_thr = run_test(c, model, t, state, thresholds=thr_grid)
         for thr in thr_grid:
-            c = cfg.replace(task=cfg.task.replace(w=w, frame_threshold=thr))
-            _, t = _common.setup_model_task(c)
-            m = run_test(c, model, t, state)
-            rows.append({"w": w, "frame_threshold": thr, **m})
+            rows.append({"w": w, "frame_threshold": thr, **by_thr[thr]})
             print(json.dumps(rows[-1]), file=sys.stderr)
 
     (run_dir / "sweep.json").write_text(json.dumps(rows, indent=2))

@@ -45,9 +45,16 @@ def _export_batch_artifacts(run_dir, cfg, pred, batch):
                   np.asarray(batch["audio"][j]), cfg.dataset.sampling_rate)
 
 
-def run_test(cfg, model, task, state, artifacts_dir=None) -> Dict[str, float]:
+def run_test(cfg, model, task, state, artifacts_dir=None,
+             thresholds=None) -> Dict[str, float]:
+    """Full-eval over the test split. With `thresholds` (a list), the same
+    sampled rolls are scored once per threshold and a {thr: metrics} dict
+    is returned — thresholding is eval-only, so sampling runs once."""
     test_ds = _common.build_dataset(cfg.dataset, "test")
     loader = _common.build_loader(cfg, test_ds, "test")
+    single = thresholds is None
+    if single:
+        thresholds = [_common.task_threshold(cfg)]
 
     sample = jax.jit(
         lambda params, x_T, key, waveform: task.sample(
@@ -64,34 +71,40 @@ def run_test(cfg, model, task, state, artifacts_dir=None) -> Dict[str, float]:
             return jax.device_put(x, batch_sharding(mesh))
         return x
 
-    all_metrics: List[Dict[str, float]] = []
+    per_thr: Dict[float, List[Dict[str, float]]] = {t: [] for t in thresholds}
     n_clips = 0
     for batch in loader:
         frame = jnp.asarray(batch["frame"])
         audio = shard(jnp.asarray(batch["audio"]))
         key, noise_key, samp_key = jax.random.split(key, 3)
         x_T = shard(jax.random.normal(noise_key, frame.shape))
-        pred = sample(state.params, x_T, samp_key, audio)
-        if artifacts_dir is not None and not all_metrics:
+        pred = np.asarray(sample(state.params, x_T, samp_key, audio))
+        if artifacts_dir is not None and n_clips == 0:
             _export_batch_artifacts(artifacts_dir, cfg, pred, batch)
-        m = evaluate_rolls(
-            np.asarray(pred), np.asarray(batch["frame"]),
-            frame_threshold=cfg.task.frame_threshold,
-            hop_length=cfg.dataset.hop_length,
-            sample_rate=cfg.dataset.sampling_rate,
-        )
-        m["_n"] = frame.shape[0]
-        all_metrics.append(m)
+        for thr in thresholds:
+            m = evaluate_rolls(
+                pred, np.asarray(batch["frame"]),
+                frame_threshold=thr,
+                hop_length=cfg.dataset.hop_length,
+                sample_rate=cfg.dataset.sampling_rate,
+            )
+            m["_n"] = frame.shape[0]
+            per_thr[thr].append(m)
         n_clips += int(frame.shape[0])
 
-    if not all_metrics:
+    if n_clips == 0:
         raise FileNotFoundError("test split resolved to zero batches")
-    weights = np.array([m.pop("_n") for m in all_metrics], dtype=np.float64)
-    weights /= weights.sum()
-    out = {k: float(np.sum([m[k] * w for m, w in zip(all_metrics, weights)]))
-           for k in all_metrics[0]}
-    out["n_clips"] = n_clips
-    return out
+
+    def reduce(all_metrics):
+        weights = np.array([m.pop("_n") for m in all_metrics], np.float64)
+        weights /= weights.sum()
+        out = {k: float(np.sum([m[k] * w for m, w in zip(all_metrics, weights)]))
+               for k in all_metrics[0]}
+        out["n_clips"] = n_clips
+        return out
+
+    results = {t: reduce(ms) for t, ms in per_thr.items()}
+    return results[thresholds[0]] if single else results
 
 
 def main(argv: Optional[List[str]] = None):

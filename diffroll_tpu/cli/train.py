@@ -34,7 +34,7 @@ from .test import run_test
 
 def main(argv: Optional[List[str]] = None):
     cfg, rest = from_argv(sys.argv[1:] if argv is None else argv, "spec_roll")
-    dual = "dual" in rest or cfg.dataset2 is not None
+    dual = cfg.dual or "dual" in rest or cfg.dataset2 is not None
 
     if cfg.pretrained_path:
         cfg, model, task, state = _common.load_pretrained(cfg)

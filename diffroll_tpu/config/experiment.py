@@ -97,6 +97,8 @@ class ExperimentConfig:
     trainer: TrainerConfig = TrainerConfig()
     # checkpoint to start from (reference pretrained_path / checkpoint_path)
     pretrained_path: Optional[str] = None
+    # dual-dataset fine-tuning recipe (reference continue_train_both.py)
+    dual: bool = False
     # sampling entry knobs (reference config/sampling.yaml)
     num_samples: int = 16
 

@@ -111,18 +111,16 @@ class DataLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
 
-        def fetch(batch_idx: np.ndarray):
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                items = list(pool.map(self.dataset.__getitem__, batch_idx))
-            return collate(items)
-
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
         def producer():
+            # one pool per epoch, not per batch
             try:
-                for b in batches:
-                    q.put(fetch(b))
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        items = list(pool.map(self.dataset.__getitem__, b))
+                        q.put(collate(items))
             finally:
                 q.put(stop)
 

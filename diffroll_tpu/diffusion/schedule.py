@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -43,11 +44,8 @@ def sigmoid_beta_schedule(
 ) -> jnp.ndarray:
     """Sigmoid schedule (reference model/unet.py:575-579)."""
     betas = jnp.linspace(-6.0, 6.0, timesteps, dtype=jnp.float32)
-    return jax_sigmoid(betas) * (beta_end - beta_start) + beta_start
+    return jax.nn.sigmoid(betas) * (beta_end - beta_start) + beta_start
 
-
-def jax_sigmoid(x: jnp.ndarray) -> jnp.ndarray:
-    return 1.0 / (1.0 + jnp.exp(-x))
 
 
 class Schedule(NamedTuple):

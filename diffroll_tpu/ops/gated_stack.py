@@ -49,7 +49,8 @@ class GatedStackWeights(NamedTuple):
     wd:   (L, k, C, 2C)  dilated conv taps (tap j = time offset (j-k//2)*d)
     wc:   (L, M, 2C)     conditioner 1x1 conv (M = padded cond width), or None
     wo:   (L, C, 2C)     output projection ([:, :, :C] residual, [:, :, C:] skip)
-    b:    (L, 2C)        dilated conv bias + conditioner bias (pre-summed)
+    b:    (L, 2C)        dilated conv bias
+    bc:   (L, 2C)        conditioner bias (added only when a cond is given), or None
     bo:   (L, 2C)        output projection bias
     wt:   (L, E, C)      diffusion_projection (t_emb E=512 -> C), host side
     bt:   (L, C)
@@ -59,6 +60,7 @@ class GatedStackWeights(NamedTuple):
     wc: Optional[jnp.ndarray]
     wo: jnp.ndarray
     b: jnp.ndarray
+    bc: Optional[jnp.ndarray]
     bo: jnp.ndarray
     wt: jnp.ndarray
     bt: jnp.ndarray
@@ -84,16 +86,17 @@ def stack_weights(params, n_layers: int, cond_pad: int = 256) -> GatedStackWeigh
     wt = get("diffusion_projection", "kernel")  # (L, E, C)
     bt = get("diffusion_projection", "bias")
 
-    wc = None
+    wc = bc = None
     if "conditioner_projection" in layers[0]:
         wc_raw = get("conditioner_projection", "kernel")[:, 0]  # (L, M0, 2C)
-        b = b + get("conditioner_projection", "bias")
+        bc = get("conditioner_projection", "bias")
         m0 = wc_raw.shape[1]
         if m0 < cond_pad:
             wc = jnp.pad(wc_raw, ((0, 0), (0, cond_pad - m0), (0, 0)))
         else:
             wc = wc_raw
-    return GatedStackWeights(wd=wd, wc=wc, wo=wo, b=b, bo=bo, wt=wt, bt=bt)
+    return GatedStackWeights(wd=wd, wc=wc, wo=wo, b=b, bc=bc, bo=bo,
+                             wt=wt, bt=bt)
 
 
 def _pad_cond(cond: jnp.ndarray, cond_pad: int) -> jnp.ndarray:
@@ -141,7 +144,7 @@ def gated_stack_xla(
             acc = acc + jnp.einsum("btc,cd->btd", shifted, w.wd[i, j])
         acc = acc + w.b[i]
         if cond_terms is not None:
-            acc = acc + cond_terms[i]
+            acc = acc + cond_terms[i] + w.bc[i]
         c = x.shape[-1]
         g = jax.nn.sigmoid(acc[..., :c]) * jnp.tanh(acc[..., c:])
         out = jnp.einsum("btc,cd->btd", g, w.wo[i]) + w.bo[i]
@@ -318,7 +321,8 @@ def gated_stack_pallas(
         in_specs.append(pl.BlockSpec((1, w.wc.shape[1], two_c),
                                      lambda i, *_: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
-    operands.append(w.b.astype(jnp.float32)[:, None, :])   # (L, 1, 2C)
+    b_eff = w.b + w.bc if conditional else w.b
+    operands.append(b_eff.astype(jnp.float32)[:, None, :])  # (L, 1, 2C)
     in_specs.append(pl.BlockSpec((1, 1, two_c), lambda i, *_: (i, 0, 0),
                                  memory_space=pltpu.VMEM))
     operands.append(w.wo.astype(bf))

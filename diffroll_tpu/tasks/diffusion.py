@@ -260,9 +260,10 @@ class DiffusionTask:
         The conditioner is computed ONCE here and closed over by the scan
         body — 1 mel evaluation per clip instead of the reference's 400.
         """
+        mc = self.model.config
         cond = None
-        if not self.model.config.unconditional:
-            if self.config.debug or self.model.config.cond_source == "roll":
+        if not mc.unconditional:
+            if self.config.debug or mc.cond_source == "roll":
                 cond = roll_cond
             elif waveform is not None:
                 cond = self.model.conditioner(
@@ -270,6 +271,12 @@ class DiffusionTask:
                     inpainting_t=self.config.inpainting_t,
                     inpainting_f=self.config.inpainting_f,
                 )
+            elif mc.cond_source == "spec":
+                # generation-from-noise on a conditional model: the trained
+                # unconditional mode is conditioner := -1 (the CFG dropout
+                # embedding, reference model/diffwave.py:656-660) — NOT a
+                # skipped conditioner path, which the net never saw
+                cond = jnp.full((x_T.shape[0], x_T.shape[1], mc.n_mels), -1.0)
         step = self.make_step_fn(params, cond)
         return sample_loop(
             step, x_T, self.config.timesteps, key,

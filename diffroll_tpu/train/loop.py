@@ -87,6 +87,13 @@ def fit(
                 records = []
                 extra: Dict[str, float] = {}
                 for i, batch in enumerate(val_loader):
+                    if mesh is not None:
+                        # multi-host: assemble the global val batch too, so
+                        # every process sees the same monitored loss and the
+                        # (collective) checkpoint save stays in sync
+                        from ..parallel.mesh import shard_batch
+
+                        batch = shard_batch(mesh, batch)
                     key, eval_key = jax.random.split(key)
                     records.append(eval_fn(state.params, batch, eval_key))
                     if i == 0 and val_hook is not None:

@@ -240,3 +240,11 @@ def test_cli_infer_unet(maps_tree, tmp_path):
     run_dir = infer_cli.main([f"pretrained_path={ckpt}", "num_samples=2",
                               f"trainer.output_dir={out}"])
     assert len(sorted(run_dir.glob("*.npz"))) == 2
+
+
+def test_dual_as_override_form(maps_tree, tmp_path):
+    """The documented `dual=true` override form selects the dual recipe."""
+    from diffroll_tpu.config import compose
+
+    cfg = compose("spec_roll", {"dual": "true"})
+    assert cfg.dual is True

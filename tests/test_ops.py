@@ -106,3 +106,22 @@ def test_supports_fused():
     assert supports_fused(models.PRESETS["DiffRoll"])
     assert not supports_fused(models.PRESETS["DiffRollv2"])
     assert not supports_fused(models.PRESETS["Unet"])
+
+
+def test_fused_cond_none_matches_flax_on_conditional_net(net_and_params):
+    """A conditional net evaluated WITHOUT a conditioner must agree between
+    the fused and flax paths (the conditioner bias must not leak in)."""
+    net, params = net_and_params
+    # give the conditioner biases non-zero values to make leakage visible
+    import jax
+
+    for i in range(L):
+        scope = params["params"][f"residual_layers_{i}"]["conditioner_projection"]
+        scope["bias"] = jax.random.normal(jax.random.key(50 + i),
+                                          scope["bias"].shape)
+    x, t, _ = _inputs()
+    ref = net.apply(params, x, t, None, None)
+    out = fused_forward(params, x, t, None, n_layers=L, dilations=DIL,
+                        max_steps=MAX_STEPS, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-3)

@@ -252,3 +252,28 @@ def test_task_sampling_steps_end_to_end():
     assert x0.shape == (2, 32, 88)
     assert traj.shape[0] == 5  # one state per visited step
     assert np.isfinite(np.asarray(x0)).all()
+
+
+def test_generation_uses_trained_unconditional_mode():
+    """Generation-from-noise on a conditional model must run the trained
+    spec:=-1 unconditional substitution, not a skipped-conditioner forward
+    (reference task/diffusion.py:988 via model/diffwave.py:656-660)."""
+    from diffroll_tpu import models
+    from diffroll_tpu.tasks import DiffusionTask, TaskConfig
+
+    model = models.build("ClassifierFreeDiffRoll", residual_channels=16,
+                         residual_layers=2, frames=32, timesteps=6)
+    params = model.init(jax.random.key(0))
+    task = DiffusionTask(model, TaskConfig(timesteps=6,
+                                           sampling_type="generation_ddpm_x0"))
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 88))
+    gen, _ = task.sample(params, x_T, jax.random.PRNGKey(2))
+
+    # manual reference: same sampler with an explicit all -1 conditioner
+    uncond = jnp.full((2, 32, model.config.n_mels), -1.0)
+    cond_task = DiffusionTask(model, TaskConfig(timesteps=6,
+                                                sampling_type="ddpm_x0"))
+    step = cond_task.make_step_fn(params, uncond)
+    ref, _ = sample_loop(step, x_T, 6, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(gen), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
