@@ -38,7 +38,10 @@ def _dispatch(argv):
         print(__doc__)
         print("commands:", ", ".join(commands))
         return 0 if argv and argv[0] in ("-h", "--help") else 2
-    return commands[argv[0]](argv[1:])
+    # command return values (states, metrics, paths) are for library/test
+    # callers, not exit codes; failures raise
+    commands[argv[0]](argv[1:])
+    return 0
 
 
 if __name__ == "__main__":
