@@ -93,6 +93,7 @@ def config_record(cfg: ExperimentConfig) -> Dict[str, Any]:
 
 def load_pretrained(
     cfg: ExperimentConfig,
+    prefer_ema: bool = True,
 ) -> Tuple[ExperimentConfig, Any, DiffusionTask, TrainState]:
     """Restore a checkpoint with the reference's "reload weights, override
     hparams" semantic (reference load_from_checkpoint + overrides,
@@ -118,6 +119,13 @@ def load_pretrained(
         lambda k: TrainState.create(model.init(k), tx), jax.random.key(0)
     )
     state, _ = ckpt.load(abstract)
+    # EMA weights (TrainerConfig.ema_decay runs) are preferred for eval;
+    # fine-tuning continues from the raw weights (prefer_ema=False)
+    if prefer_ema:
+        ema = ckpt.load_extra("ema", abstract.params)
+        if ema is not None:
+            state = TrainState(step=state.step, params=ema,
+                               opt_state=state.opt_state)
     return cfg, model, task, state
 
 

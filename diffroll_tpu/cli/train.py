@@ -37,7 +37,7 @@ def main(argv: Optional[List[str]] = None):
     dual = cfg.dual or "dual" in rest or cfg.dataset2 is not None
 
     if cfg.pretrained_path:
-        cfg, model, task, state = _common.load_pretrained(cfg)
+        cfg, model, task, state = _common.load_pretrained(cfg, prefer_ema=False)
         tx = make_optimizer(_common.task_lr(cfg))
     else:
         model, task = _common.setup_model_task(cfg)

@@ -74,6 +74,9 @@ class TrainerConfig:
     data_axis: Optional[int] = None
     log_every_n_steps: int = 50
     profile: bool = False                     # jax.profiler trace of early steps
+    # exponential moving average of params (no reference counterpart;
+    # standard practice for diffusion-model eval quality). None = off.
+    ema_decay: Optional[float] = None
 
     def replace(self, **kw) -> "TrainerConfig":
         return dataclasses.replace(self, **kw)

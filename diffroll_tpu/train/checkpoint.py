@@ -96,22 +96,35 @@ class Checkpointer:
             return self.directory / "last"
         return self.directory / f"step_{step:09d}"
 
-    def save_last(self, state: Any, config: Optional[Dict[str, Any]] = None):
+    def save_last(self, state: Any, config: Optional[Dict[str, Any]] = None,
+                  extras: Optional[Dict[str, Any]] = None):
         """Overwrite the rolling `last` checkpoint (reference
         ModelCheckpoint save_last, config/spec_roll.yaml:44)."""
-        path = self._path("last")
+        return self._save(self._path("last"), state, config, extras)
+
+    def save(self, step: int, state: Any, config: Optional[Dict[str, Any]] = None,
+             extras: Optional[Dict[str, Any]] = None):
+        path = self._save(self._path(step), state, config, extras)
+        self._gc()
+        return path
+
+    def _save(self, path, state, config, extras):
         self._ckptr.save(path / "state", state, force=True)
+        for name, tree in (extras or {}).items():
+            self._ckptr.save(path / name, tree, force=True)
         if config is not None:
             (path / "config.json").write_text(json.dumps(_to_jsonable(config)))
         return path
 
-    def save(self, step: int, state: Any, config: Optional[Dict[str, Any]] = None):
-        path = self._path(step)
-        self._ckptr.save(path / "state", state, force=True)
-        if config is not None:
-            (path / "config.json").write_text(json.dumps(_to_jsonable(config)))
-        self._gc()
-        return path
+    def load_extra(self, name: str, abstract: Any, step=None) -> Optional[Any]:
+        """Restore an extra pytree (e.g. 'ema') if the checkpoint has it."""
+        if step is None:
+            step = self.latest_step()
+            if step is None and (self.directory / "last").exists():
+                step = "last"
+        if step is None or not (self._path(step) / name).exists():
+            return None
+        return self._ckptr.restore(self._path(step) / name, abstract)
 
     def _gc(self):
         ckpts = sorted(self.directory.glob("step_*"))

@@ -15,6 +15,7 @@ import math
 from typing import Any, Dict, Iterable, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config.experiment import TrainerConfig
@@ -60,6 +61,23 @@ def fit(
     eval_fn = make_eval_step(task.loss_fn)
     key = jax.random.key(trainer.seed)
 
+    # EMA of params (TrainerConfig.ema_decay): tracked beside the state,
+    # saved as a checkpoint extra, preferred at eval time when present
+    ema = None
+    if trainer.ema_decay:
+        # copy: the train step donates the state, deleting the original
+        # param buffers an alias would point at
+        ema = jax.tree_util.tree_map(jnp.copy, state.params)
+        d = float(trainer.ema_decay)
+        ema_update = jax.jit(
+            lambda e, p: jax.tree_util.tree_map(
+                lambda a, b: a * d + b * (1.0 - d), e, p),
+            donate_argnums=(0,),
+        )
+
+    def ckpt_extras():
+        return {"ema": ema} if ema is not None else None
+
     best = math.inf
     timer = StepTimer()
     global_step = int(state.step)
@@ -72,6 +90,8 @@ def fit(
             for batch in device_prefetch(train_loader, mesh):
                 key, step_key = jax.random.split(key)
                 state, losses = step_fn(state, batch, step_key)
+                if ema is not None:
+                    ema = ema_update(ema, state.params)
                 timer.tick(_batch_size(batch))
                 global_step += 1
                 if logger and global_step % trainer.log_every_n_steps == 0:
@@ -111,12 +131,14 @@ def fit(
 
             if checkpointer is not None:
                 if trainer.save_last:
-                    checkpointer.save_last(state, config_record)
+                    checkpointer.save_last(state, config_record,
+                                           extras=ckpt_extras())
                 if monitored is not None and monitored < best:
                     best = monitored
-                    checkpointer.save(global_step, state, config_record)
+                    checkpointer.save(global_step, state, config_record,
+                                      extras=ckpt_extras())
 
     if checkpointer is not None:
-        checkpointer.save_last(state, config_record)
+        checkpointer.save_last(state, config_record, extras=ckpt_extras())
         checkpointer.wait()
     return state

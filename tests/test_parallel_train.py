@@ -178,3 +178,49 @@ def test_checkpoint_gc(tmp_path, setup):
     ck.wait()
     kept = sorted(p.name for p in (tmp_path / "ckpt").glob("step_*"))
     assert kept == ["step_000000002", "step_000000003"]
+
+
+def test_ema_tracking_and_eval_preference(tmp_path):
+    """TrainerConfig.ema_decay tracks an EMA beside the state; checkpoints
+    carry it as an extra, and load_extra restores it."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffroll_tpu import models
+    from diffroll_tpu.config.experiment import TrainerConfig
+    from diffroll_tpu.tasks import DiffusionTask, TaskConfig
+    from diffroll_tpu.train import (
+        Checkpointer,
+        TrainState,
+        fit,
+        make_optimizer,
+    )
+
+    model = models.build("ClassifierFreeDiffRoll", residual_channels=8,
+                         residual_layers=2, frames=16, timesteps=4)
+    task = DiffusionTask(model, TaskConfig(timesteps=4))
+    params = model.init(jax.random.key(0))
+    tx = make_optimizer(1e-2)
+    state = TrainState.create(params, tx)
+
+    batch = {
+        "frame": (jax.random.uniform(jax.random.key(1), (2, 16, 88)) > 0.8
+                  ).astype(jnp.float32),
+        "audio": jax.random.normal(jax.random.key(2), (2, 16 * 512)),
+    }
+    loader = [batch, batch]
+    ckpt = Checkpointer(tmp_path / "ck")
+    state = fit(task, state, loader, tx,
+                trainer=TrainerConfig(max_epochs=2, check_val_every_n_epoch=1,
+                                      monitor="train/diffusion_loss",
+                                      ema_decay=0.5, log_every_n_steps=1),
+                checkpointer=ckpt)
+
+    abstract = jax.eval_shape(lambda: state)
+    ema = ckpt.load_extra("ema", abstract.params)
+    assert ema is not None
+    # ema lags behind the raw params (decay 0.5 over 4 steps)
+    diff = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.abs(b).sum()),
+        jax.tree_util.tree_map(lambda e, p: e - p, ema, state.params), 0.0)
+    assert diff > 0.0
