@@ -2,6 +2,7 @@
 Lightning's `gpus` flag, reference README.md:43; here the mesh is a
 first-class, user-visible object — SURVEY.md §2c, §5)."""
 
+from .context import sample_sequence_parallel, sequence_parallel_forward
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -13,6 +14,8 @@ from .mesh import (
 
 __all__ = [
     "make_mesh",
+    "sequence_parallel_forward",
+    "sample_sequence_parallel",
     "batch_sharding",
     "param_sharding",
     "replicated",
