@@ -150,3 +150,56 @@ def test_config_from_hparams():
     assert cfg.kernel_size == 9
     assert cfg.spec_dropout == 0.4
     assert cfg.norm_args == (0.0, 1.0, "imagewise")
+
+
+def test_full_scale_reference_state_dict_structure():
+    """A state dict with the exact reference naming at FULL flagship scale —
+    including the buffers a Lightning checkpoint carries (mel_layer,
+    schedule tables, embedding table) that must be skipped — converts to a
+    tree that matches a fresh full-size init exactly."""
+    C_, L_, K_, MELS = 512, 15, 3, 229
+    sd = {}
+    sd["betas"] = torch.zeros(200)
+    sd["sqrt_alphas_cumprod"] = torch.zeros(200)
+    sd["posterior_variance"] = torch.zeros(200)
+    sd["mel_layer.spectrogram.window"] = torch.zeros(2048)
+    sd["mel_layer.mel_scale.fb"] = torch.zeros(1025, MELS)
+    sd["diffusion_embedding.embedding"] = torch.zeros(200, 128)
+    sd["diffusion_embedding.projection1.weight"] = torch.randn(512, 128)
+    sd["diffusion_embedding.projection1.bias"] = torch.randn(512)
+    sd["diffusion_embedding.projection2.weight"] = torch.randn(512, 512)
+    sd["diffusion_embedding.projection2.bias"] = torch.randn(512)
+    sd["input_projection.weight"] = torch.randn(C_, 88, 1)
+    sd["input_projection.bias"] = torch.randn(C_)
+    for i in range(L_):
+        p = f"residual_layers.{i}."
+        sd[p + "dilated_conv.weight"] = torch.randn(2 * C_, C_, K_)
+        sd[p + "dilated_conv.bias"] = torch.randn(2 * C_)
+        sd[p + "diffusion_projection.weight"] = torch.randn(C_, 512)
+        sd[p + "diffusion_projection.bias"] = torch.randn(C_)
+        sd[p + "conditioner_projection.weight"] = torch.randn(2 * C_, MELS, 1)
+        sd[p + "conditioner_projection.bias"] = torch.randn(2 * C_)
+        sd[p + "output_projection.weight"] = torch.randn(2 * C_, C_, 1)
+        sd[p + "output_projection.bias"] = torch.randn(2 * C_)
+    sd["skip_projection.weight"] = torch.randn(C_, C_, 1)
+    sd["skip_projection.bias"] = torch.randn(C_)
+    sd["output_projection.weight"] = torch.randn(88, C_, 1)
+    sd["output_projection.bias"] = torch.randn(88)
+
+    converted = convert_state_dict(sd)
+
+    from diffroll_tpu import models
+
+    model = models.build("ClassifierFreeDiffRoll")
+    init = model.init(jax.random.key(0))["params"]
+    paths_init = {jax.tree_util.keystr(p): l.shape
+                  for p, l in jax.tree_util.tree_leaves_with_path(init)}
+    paths_conv = {jax.tree_util.keystr(p): l.shape
+                  for p, l in jax.tree_util.tree_leaves_with_path(converted)}
+    assert paths_init == paths_conv
+
+    # and the converted weights actually run a full-size forward
+    out = model.apply({"params": converted},
+                      jnp.zeros((1, 640, 88)), jnp.zeros((1,), jnp.int32),
+                      jnp.zeros((1, 640, 229)), None)
+    assert out.shape == (1, 640, 88)
