@@ -94,17 +94,27 @@ def config_record(cfg: ExperimentConfig) -> Dict[str, Any]:
 def load_pretrained(
     cfg: ExperimentConfig,
     prefer_ema: bool = True,
+    overrides: Optional[Dict[str, Any]] = None,
 ) -> Tuple[ExperimentConfig, Any, DiffusionTask, TrainState]:
     """Restore a checkpoint with the reference's "reload weights, override
     hparams" semantic (reference load_from_checkpoint + overrides,
     continue_train_single.py:36-37, test.py:29-36): the stored model config
-    wins for architecture; the CLI config wins for task/sampling knobs.
+    wins for architecture, the CLI config wins for task/sampling knobs, and
+    the user's explicit `model.*` CLI keys are re-applied on top of the
+    stored config (e.g. model.spec_dropout when switching pretrain ->
+    fine-tune, reference continue_train_single.py).
     """
     if not cfg.pretrained_path:
         raise SystemExit("pretrained_path=<checkpoint dir> is required")
     ckpt = Checkpointer(cfg.pretrained_path)
     stored = ckpt.peek_config()
     model_cfg = stored.get("model", cfg.model)
+    model_over = {k[len("model."):]: v for k, v in (overrides or {}).items()
+                  if k.startswith("model.")}
+    if model_over:
+        from ..config import apply_overrides
+
+        model_cfg = apply_overrides(model_cfg, model_over)
     # architecture comes from the ckpt; sampling-time knobs (timesteps must
     # match the embedding table) stay compatible with the stored net
     cfg = cfg.replace(

@@ -22,8 +22,8 @@ from .sample import export_clip
 
 
 def main(argv: Optional[List[str]] = None):
-    cfg, _ = from_argv(sys.argv[1:] if argv is None else argv, "infer")
-    cfg, model, task, state = _common.load_pretrained(cfg)
+    cfg, _, overrides = from_argv(sys.argv[1:] if argv is None else argv, "infer")
+    cfg, model, task, state = _common.load_pretrained(cfg, overrides=overrides)
     run_dir = _common.make_run_dir(cfg, "infer")
 
     sample = jax.jit(

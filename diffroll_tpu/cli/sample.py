@@ -52,8 +52,8 @@ def export_clip(run_dir, name, roll, cfg, trajectory=None):
 
 
 def main(argv: Optional[List[str]] = None):
-    cfg, _ = from_argv(sys.argv[1:] if argv is None else argv, "sampling")
-    cfg, model, task, state = _common.load_pretrained(cfg)
+    cfg, _, overrides = from_argv(sys.argv[1:] if argv is None else argv, "sampling")
+    cfg, model, task, state = _common.load_pretrained(cfg, overrides=overrides)
     run_dir = _common.make_run_dir(cfg, "sample")
     generation = cfg.task.sampling_type.startswith("generation")
 

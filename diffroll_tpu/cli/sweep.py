@@ -34,8 +34,8 @@ def main(argv: Optional[List[str]] = None):
         else:
             rest.append(tok)
 
-    cfg, _ = from_argv(rest, "test")
-    cfg, model, task, state = _common.load_pretrained(cfg)
+    cfg, _, overrides = from_argv(rest, "test")
+    cfg, model, task, state = _common.load_pretrained(cfg, overrides=overrides)
     run_dir = _common.make_run_dir(cfg, "sweep")
 
     rows = []

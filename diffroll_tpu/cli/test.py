@@ -108,8 +108,8 @@ def run_test(cfg, model, task, state, artifacts_dir=None,
 
 
 def main(argv: Optional[List[str]] = None):
-    cfg, _ = from_argv(sys.argv[1:] if argv is None else argv, "test")
-    cfg, model, task, state = _common.load_pretrained(cfg)
+    cfg, _, overrides = from_argv(sys.argv[1:] if argv is None else argv, "test")
+    cfg, model, task, state = _common.load_pretrained(cfg, overrides=overrides)
     run_dir = _common.make_run_dir(cfg, "test")
     metrics = run_test(cfg, model, task, state, artifacts_dir=run_dir)
     (run_dir / "test_metrics.json").write_text(json.dumps(metrics, indent=2))

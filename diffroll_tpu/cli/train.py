@@ -33,11 +33,12 @@ from .test import run_test
 
 
 def main(argv: Optional[List[str]] = None):
-    cfg, rest = from_argv(sys.argv[1:] if argv is None else argv, "spec_roll")
+    cfg, rest, overrides = from_argv(sys.argv[1:] if argv is None else argv, "spec_roll")
     dual = cfg.dual or "dual" in rest or cfg.dataset2 is not None
 
     if cfg.pretrained_path:
-        cfg, model, task, state = _common.load_pretrained(cfg, prefer_ema=False)
+        cfg, model, task, state = _common.load_pretrained(cfg, prefer_ema=False,
+                                                           overrides=overrides)
         tx = make_optimizer(_common.task_lr(cfg))
     else:
         model, task = _common.setup_model_task(cfg)

@@ -32,8 +32,8 @@ def main(argv: Optional[List[str]] = None):
             overlap = int(tok.split("=", 1)[1])
         else:
             rest.append(tok)
-    cfg, _ = from_argv(rest, "sampling")
-    cfg, model, task, state = _common.load_pretrained(cfg)
+    cfg, _, overrides = from_argv(rest, "sampling")
+    cfg, model, task, state = _common.load_pretrained(cfg, overrides=overrides)
     run_dir = _common.make_run_dir(cfg, "transcribe")
     mesh = _common.setup_mesh(cfg)
 

@@ -148,12 +148,17 @@ def compose(
     return cfg
 
 
-def from_argv(argv: List[str], default: str) -> Tuple[ExperimentConfig, List[str]]:
+def from_argv(
+    argv: List[str], default: str,
+) -> Tuple[ExperimentConfig, List[str], Dict[str, Any]]:
     """Build a config from CLI argv: positional tokens + key=value overrides.
 
-    The first positional token, if any, selects the root preset.
+    The first positional token, if any, selects the root preset. Returns
+    (config, remaining positionals, raw overrides) — the raw overrides let
+    checkpoint loaders re-apply the USER's explicit keys on top of a stored
+    config (the reference's load_from_checkpoint(**overrides) semantics).
     """
     positional, overrides = parse_argv(argv)
     name = positional[0] if positional and positional[0] in PRESETS else default
     rest = positional[1:] if positional and positional[0] in PRESETS else positional
-    return compose(name, overrides), rest
+    return compose(name, dict(overrides)), rest, overrides

@@ -80,7 +80,7 @@ def test_yaml_layering(tmp_path):
 def test_parse_argv_and_from_argv():
     pos, ov = parse_argv(["test", "task.w=1.5", "--flag"])
     assert pos == ["test", "--flag"] and ov == {"task.w": "1.5"}
-    cfg, rest = from_argv(["unsupervised_pretrained", "dual"], "spec_roll")
+    cfg, rest, _ = from_argv(["unsupervised_pretrained", "dual"], "spec_roll")
     assert cfg.model.spec_dropout == 1.0
     assert rest == ["dual"]
 
@@ -248,3 +248,23 @@ def test_dual_as_override_form(maps_tree, tmp_path):
 
     cfg = compose("spec_roll", {"dual": "true"})
     assert cfg.dual is True
+
+
+def test_model_overrides_survive_checkpoint_reload(maps_tree, tmp_path):
+    """Reference continue_train_single semantics: explicit model.* CLI keys
+    are re-applied on top of the STORED model config at reload (e.g.
+    switching spec_dropout between pretrain and fine-tune)."""
+    from diffroll_tpu.cli import _common
+    from diffroll_tpu.cli import train as train_cli
+    from diffroll_tpu.config import from_argv
+
+    out = tmp_path / "out"
+    train_cli.main(["spec_roll", "model.spec_dropout=1.0",
+                    *_tiny_args(maps_tree, out)])
+    ckpt = sorted(out.rglob("checkpoints"))[0]
+    cfg, _, overrides = from_argv(
+        [f"pretrained_path={ckpt}", "model.spec_dropout=0.1",
+         *_tiny_args(maps_tree, out)], "spec_roll")
+    cfg2, model, task, state = _common.load_pretrained(cfg, overrides=overrides)
+    assert cfg2.model.spec_dropout == 0.1          # CLI override applied
+    assert cfg2.model.residual_channels == 16      # architecture from ckpt
