@@ -158,7 +158,7 @@ def gated_stack_xla(
 def _kernel(
     x_ref,                        # (B, T, C) bf16 input
     cond_ref,                     # (B, T, M) bf16 (or None — see factory)
-    tb_ref,                       # (1, B, C) f32 per-layer time bias
+    tb_ref,                       # (1, 1, tile, C) f32 per-layer time bias
     wd_ref,                       # (1, k, C, 2C) bf16
     wc_ref,                       # (1, M, 2C) bf16 (or None)
     b_ref,                        # (1, 1, 2C) f32
@@ -176,7 +176,7 @@ def _kernel(
     dilations: tuple,
     static_shifts: bool,
 ):
-    i = pl.program_id(0)
+    i = pl.program_id(1)   # layer index; grid dim 0 tiles the batch
     bsz, t_len, c = x_buf.shape
 
     @pl.when(i == 0)
@@ -192,7 +192,7 @@ def _kernel(
     x = x_buf[:]
     # FiLM step bias in f32; ypad is f32 in roll mode (tpu.dynamic_rotate is
     # 32-bit only) and bf16 in static-shift mode
-    y = x.astype(jnp.float32) + tb_ref[0][:, None, :]
+    y = x.astype(jnp.float32) + tb_ref[0, 0][:, None, :]
     ypad[:, pad: t_len + pad, :] = y.astype(ypad.dtype)
 
     two_c = b_ref.shape[-1]
@@ -292,6 +292,8 @@ def gated_stack_pallas(
 
     `dilations` must be a static tuple — the max sets the halo padding and
     the distinct values become static-shift branches inside the kernel.
+    Large batches are tiled over an outer grid dimension (VMEM holds one
+    tile of activations; weights re-stream per tile).
     """
     n_layers, taps, c, two_c = w.wd.shape
     bsz, t_len, _ = x.shape
@@ -299,37 +301,48 @@ def gated_stack_pallas(
     conditional = cond is not None
     bf = jnp.bfloat16
 
+    # activation-VMEM budget: tile the batch so one tile's buffers fit
+    # (~4 rows of (640, 512) keeps the kernel well under the scoped limit)
+    tile = bsz
+    while tile > 4 or bsz % tile:
+        tile -= 1
+    n_tiles = bsz // tile
+
     x16 = x.astype(bf)
     tb = t_bias.astype(jnp.float32)
 
     operands = [x16]
-    in_specs = [pl.BlockSpec((bsz, t_len, c), lambda i, *_: (0, 0, 0),
+    in_specs = [pl.BlockSpec((tile, t_len, c), lambda bi, i, *_: (bi, 0, 0),
                              memory_space=pltpu.VMEM)]
     if conditional:
         m = w.wc.shape[1]
         operands.append(_pad_cond(cond, m).astype(bf))
-        in_specs.append(pl.BlockSpec((bsz, t_len, m), lambda i, *_: (0, 0, 0),
+        in_specs.append(pl.BlockSpec((tile, t_len, m),
+                                     lambda bi, i, *_: (bi, 0, 0),
                                      memory_space=pltpu.VMEM))
-    operands.append(tb)
-    in_specs.append(pl.BlockSpec((1, bsz, c), lambda i, *_: (i, 0, 0),
+    # (L, B, C) -> (L, n_tiles, tile, C): block dims equal array dims
+    operands.append(tb.reshape(n_layers, n_tiles, tile, c))
+    in_specs.append(pl.BlockSpec((1, 1, tile, c),
+                                 lambda bi, i, *_: (i, bi, 0, 0),
                                  memory_space=pltpu.VMEM))
     operands.append(w.wd.astype(bf))
-    in_specs.append(pl.BlockSpec((1, taps, c, two_c), lambda i, *_: (i, 0, 0, 0),
+    in_specs.append(pl.BlockSpec((1, taps, c, two_c),
+                                 lambda bi, i, *_: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM))
     if conditional:
         operands.append(w.wc.astype(bf))
         in_specs.append(pl.BlockSpec((1, w.wc.shape[1], two_c),
-                                     lambda i, *_: (i, 0, 0),
+                                     lambda bi, i, *_: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
     b_eff = w.b + w.bc if conditional else w.b
     operands.append(b_eff.astype(jnp.float32)[:, None, :])  # (L, 1, 2C)
-    in_specs.append(pl.BlockSpec((1, 1, two_c), lambda i, *_: (i, 0, 0),
+    in_specs.append(pl.BlockSpec((1, 1, two_c), lambda bi, i, *_: (i, 0, 0),
                                  memory_space=pltpu.VMEM))
     operands.append(w.wo.astype(bf))
-    in_specs.append(pl.BlockSpec((1, c, two_c), lambda i, *_: (i, 0, 0),
+    in_specs.append(pl.BlockSpec((1, c, two_c), lambda bi, i, *_: (i, 0, 0),
                                  memory_space=pltpu.VMEM))
     operands.append(w.bo.astype(jnp.float32)[:, None, :])  # (L, 1, 2C)
-    in_specs.append(pl.BlockSpec((1, 1, two_c), lambda i, *_: (i, 0, 0),
+    in_specs.append(pl.BlockSpec((1, 1, two_c), lambda bi, i, *_: (i, 0, 0),
                                  memory_space=pltpu.VMEM))
 
     def kernel(*refs):
@@ -348,14 +361,16 @@ def gated_stack_pallas(
 
     return pl.pallas_call(
         kernel,
-        grid=(n_layers,),
+        # layer dim iterates fastest; the scratch carry (x_buf) resets at
+        # layer 0 of each batch tile
+        grid=(n_tiles, n_layers),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bsz, t_len, c), lambda i, *_: (0, 0, 0),
+        out_specs=pl.BlockSpec((tile, t_len, c), lambda bi, i, *_: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, t_len, c), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((bsz, t_len, c), bf),
-            pltpu.VMEM((bsz, t_len + 2 * pad, c),
+            pltpu.VMEM((tile, t_len, c), bf),
+            pltpu.VMEM((tile, t_len + 2 * pad, c),
                        bf if static_shifts else jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(

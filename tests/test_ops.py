@@ -125,3 +125,18 @@ def test_fused_cond_none_matches_flax_on_conditional_net(net_and_params):
                         max_steps=MAX_STEPS, use_pallas=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_pallas_batch_tiling_interpret(net_and_params):
+    """Batches larger than the VMEM tile run via the batch grid dimension
+    and still match the XLA reference (odd batch -> tile 3, even -> 4)."""
+    net, params = net_and_params
+    w = stack_weights(params, L)
+    t_emb = jax.random.normal(jax.random.key(5), (12, 512))
+    t_bias = jnp.einsum("be,lec->lbc", t_emb, w.wt) + w.bt[:, None, :]
+    xin = jax.random.normal(jax.random.key(6), (12, T, C))
+    cond = jax.random.normal(jax.random.key(7), (12, T, M))
+    ref = gated_stack_xla(xin, t_bias, cond, w, DIL)
+    out = gated_stack_pallas(xin, t_bias, cond, w, DIL, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=0.05, rtol=0.05)
