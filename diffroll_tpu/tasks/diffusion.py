@@ -215,7 +215,7 @@ class DiffusionTask:
                     return cfg_mix(out[:b], out[b:], cfg.w)
             else:
                 predict = lambda x, t_vec: net(x, t_vec, cond)
-        else:
+        elif hasattr(type(model.net), "cond_projections"):
             # flax path with per-clip precomputed conditioner projections
             # (the reference re-projects inside every forward,
             # model/diffwave.py:143)
@@ -236,6 +236,19 @@ class DiffusionTask:
                     pc, pu = model.apply_cfg(params, x, t_vec, cond_proj=proj)
                     return cfg_mix(pc, pu, cfg.w)
                 return model.apply(params, x, t_vec, None, cond_proj=proj)
+        else:
+            # nets without a separable conditioner projection (the U-Net
+            # family) run the reference-style per-step conditioned forward
+            def predict(x, t_vec):
+                if cond is None or mc.unconditional:
+                    return model.apply(params, x, t_vec, None, None)
+                if generation:
+                    all_mask = jnp.ones((x.shape[0],), bool)
+                    return model.apply(params, x, t_vec, cond, all_mask)
+                if guided:
+                    pc, pu = model.apply_cfg(params, x, t_vec, cond=cond)
+                    return cfg_mix(pc, pu, cfg.w)
+                return model.apply(params, x, t_vec, cond, None)
 
         del param_kind  # the model's output already matches the sampler family
 

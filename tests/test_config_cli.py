@@ -268,3 +268,21 @@ def test_model_overrides_survive_checkpoint_reload(maps_tree, tmp_path):
     cfg2, model, task, state = _common.load_pretrained(cfg, overrides=overrides)
     assert cfg2.model.spec_dropout == 0.1          # CLI override applied
     assert cfg2.model.residual_channels == 16      # architecture from ckpt
+
+
+def test_cli_specunet_trains(maps_tree, tmp_path):
+    """The spec-conditioned U-Net family trains through the same entry."""
+    from diffroll_tpu.cli import train as train_cli
+
+    out = tmp_path / "out"
+    train_cli.main([
+        "spec_roll", "model_name=SpecUnet", "model.residual_channels=6",
+        f"model.frames={FRAMES}", "task.timesteps=4",
+        "dataloader.train_batch_size=2", "dataloader.test_batch_size=2",
+        "dataloader.num_workers=1", "trainer.max_epochs=1",
+        "trainer.check_val_every_n_epoch=1",
+        f"dataset.sequence_length={SEQ}",
+        f"dataset.root={maps_tree}", f"trainer.output_dir={out}",
+    ])
+    metrics = json.loads(sorted(out.rglob("test_metrics.json"))[0].read_text())
+    assert 0.0 <= metrics["frame_f1"] <= 1.0
