@@ -43,7 +43,7 @@ def main(argv: Optional[List[str]] = None):
         # one sampling pass per w; thresholding is eval-only, so every
         # threshold is scored from the same sampled rolls
         c = cfg.replace(task=cfg.task.replace(w=w))
-        _, t = _common.setup_model_task(c)
+        t = type(task)(model, c.task) if c.task_type != "baseline" else task
         by_thr = run_test(c, model, t, state, thresholds=thr_grid)
         for thr in thr_grid:
             rows.append({"w": w, "frame_threshold": thr, **by_thr[thr]})

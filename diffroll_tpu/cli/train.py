@@ -108,7 +108,14 @@ def main(argv: Optional[List[str]] = None):
         val_hook=val_hook,
     )
 
-    # trainer.test equivalent (reference train_spec_roll.py:59)
+    # trainer.test equivalent (reference train_spec_roll.py:59); when EMA
+    # is on, evaluate the EMA weights — the same ones the standalone test
+    # entry will load from this checkpoint
+    if cfg.trainer.ema_decay:
+        ema = ckpt.load_extra("ema", jax.eval_shape(lambda: state.params))
+        if ema is not None:
+            state = TrainState(step=state.step, params=ema,
+                               opt_state=state.opt_state)
     try:
         metrics = run_test(cfg, model, task, state)
         (run_dir / "test_metrics.json").write_text(json.dumps(metrics, indent=2))

@@ -108,6 +108,18 @@ def sequence_parallel_forward(
     p = params["params"] if "params" in params else params
     dil = tuple(int(d) for d in dilations)
 
+    # each layer's halo reaches only the immediate neighbor, so the local
+    # shard must cover the largest per-layer halo
+    taps = weights.wd.shape[1]
+    halo = (taps // 2) * max(dil) if taps > 1 else 1
+    t_local = x_t.shape[1] // mesh.shape[axis]
+    if t_local < halo:
+        raise ValueError(
+            f"sequence-parallel shard of {t_local} frames cannot cover the "
+            f"max conv halo of {halo}; need T/{axis}_size >= {halo} "
+            f"(T={x_t.shape[1]}, {axis}={mesh.shape[axis]})"
+        )
+
     def local(x_t, t, cond, p, w):
         x = jax.nn.relu(_dense(x_t, p["input_projection"]))
         t_emb = _embed(t, p["diffusion_embedding"], max_steps)
@@ -139,40 +151,23 @@ def sample_sequence_parallel(
     """Reverse diffusion for ONE long window with its time axis sharded
     across the mesh — per-clip latency scales with chip count."""
     from ..diffusion.loop import sample_loop
-    from ..diffusion.samplers import SAMPLER_TABLE, cfg_mix
 
     mc = task.model.config
     cfg = task.config
-    step_fn, _, guided, _ = SAMPLER_TABLE[cfg.sampling_type]
     dil = tuple(mc.dilation_base ** (i % mc.dilation_bound)
                 for i in range(mc.residual_layers))
     w = stack_weights(params, mc.residual_layers)
-
-    cond = None
-    if not mc.unconditional and waveform is not None:
-        cond = task.model.conditioner(waveform=waveform)
-    if guided and cond is not None:
-        cond = jnp.concatenate([cond, jnp.full_like(cond, -1.0)], axis=0)
 
     def net(x, t_vec, c):
         return sequence_parallel_forward(
             mesh, params, x, t_vec, c, n_layers=mc.residual_layers,
             dilations=dil, max_steps=mc.timesteps, axis=axis, weights=w)
 
-    def predict(x, t_vec):
-        if cond is None:
-            return net(x, t_vec, None)
-        if guided:
-            b = x.shape[0]
-            out = net(jnp.concatenate([x, x], 0),
-                      jnp.concatenate([t_vec, t_vec], 0), cond)
-            return cfg_mix(out[:b], out[b:], cfg.w)
-        return net(x, t_vec, cond)
-
-    def step(x, t, t_prev, k):
-        t_vec = jnp.full((x.shape[0],), t, jnp.int32)
-        return step_fn(task.schedule, x, t, predict(x, t_vec), k,
-                       t_prev=t_prev)
+    # the conditioner (incl. inpainting masks and the generation spec:=-1
+    # substitution) and the CFG step plumbing are the TASK's logic — shared
+    # with the dense sampler, so the two paths cannot drift
+    cond = task.build_conditioner(x_T, waveform=waveform)
+    step = task.make_step_fn_from_net(net, cond)
 
     x_T = jax.device_put(x_T, NamedSharding(mesh, P(None, axis, None)))
     return sample_loop(step, x_T, cfg.timesteps, key,

@@ -166,6 +166,66 @@ class DiffusionTask:
 
     # ------------------------------------------------------------- sampling
 
+    def build_conditioner(
+        self,
+        x_T: jnp.ndarray,
+        waveform: Optional[jnp.ndarray] = None,
+        roll_cond: Optional[jnp.ndarray] = None,
+    ) -> Optional[jnp.ndarray]:
+        """The sampler's conditioner, computed ONCE per clip: log-mel with
+        inpainting masks applied, the ground-truth roll in debug mode, or
+        the trained spec:=-1 unconditional embedding for generation-from-
+        noise on a conditional model (NOT a skipped-conditioner forward,
+        which the net never saw; reference model/diffwave.py:656-660)."""
+        mc = self.model.config
+        if mc.unconditional:
+            return None
+        if self.config.debug or mc.cond_source == "roll":
+            return roll_cond
+        if waveform is not None:
+            return self.model.conditioner(
+                waveform=waveform,
+                inpainting_t=self.config.inpainting_t,
+                inpainting_f=self.config.inpainting_f,
+            )
+        if mc.cond_source == "spec":
+            return jnp.full((x_T.shape[0], x_T.shape[1], mc.n_mels), -1.0)
+        return None
+
+    def make_step_fn_from_net(self, net, cond: Optional[jnp.ndarray]):
+        """Step closure over an arbitrary `net(x, t_vec, cond) -> pred`
+        callable — the shared CFG/generation plumbing used by the fused
+        kernel path and by external net implementations (e.g. the
+        sequence-parallel forward)."""
+        cfg = self.config
+        step_fn, _, guided, _ = SAMPLER_TABLE[cfg.sampling_type]
+        mc = self.model.config
+        generation = cfg.sampling_type.startswith("generation")
+        schedule = self.schedule
+
+        if cond is None or mc.unconditional:
+            predict = lambda x, t_vec: net(x, t_vec, None)
+        elif generation:
+            uncond = jnp.full_like(cond, -1.0)
+            predict = lambda x, t_vec: net(x, t_vec, uncond)
+        elif guided:
+            cond2 = jnp.concatenate([cond, jnp.full_like(cond, -1.0)], 0)
+
+            def predict(x, t_vec):
+                b = x.shape[0]
+                out = net(jnp.concatenate([x, x], 0),
+                          jnp.concatenate([t_vec, t_vec], 0), cond2)
+                return cfg_mix(out[:b], out[b:], cfg.w)
+        else:
+            predict = lambda x, t_vec: net(x, t_vec, cond)
+
+        def step(x, t, t_prev, key):
+            t_vec = jnp.full((x.shape[0],), t, jnp.int32)
+            pred = predict(x, t_vec)
+            return step_fn(schedule, x, t, pred, key, t_prev=t_prev)
+
+        return step
+
     def make_step_fn(self, params: Any, cond: Optional[jnp.ndarray]):
         """Build the `(x, t, key) -> x_{t-1}` closure for `sample_loop`.
 
@@ -200,22 +260,9 @@ class DiffusionTask:
                     params, x, t_vec, c, n_layers=mc.residual_layers,
                     dilations=dil, max_steps=mc.timesteps, weights=weights)
 
-            if cond is None or mc.unconditional:
-                predict = lambda x, t_vec: net(x, t_vec, None)
-            elif generation:
-                uncond = jnp.full_like(cond, -1.0)
-                predict = lambda x, t_vec: net(x, t_vec, uncond)
-            elif guided:
-                cond2 = jnp.concatenate([cond, jnp.full_like(cond, -1.0)], 0)
+            return self.make_step_fn_from_net(net, cond)
 
-                def predict(x, t_vec):
-                    b = x.shape[0]
-                    out = net(jnp.concatenate([x, x], 0),
-                              jnp.concatenate([t_vec, t_vec], 0), cond2)
-                    return cfg_mix(out[:b], out[b:], cfg.w)
-            else:
-                predict = lambda x, t_vec: net(x, t_vec, cond)
-        elif hasattr(type(model.net), "cond_projections"):
+        if hasattr(type(model.net), "cond_projections"):
             # flax path with per-clip precomputed conditioner projections
             # (the reference re-projects inside every forward,
             # model/diffwave.py:143)
@@ -273,23 +320,7 @@ class DiffusionTask:
         The conditioner is computed ONCE here and closed over by the scan
         body — 1 mel evaluation per clip instead of the reference's 400.
         """
-        mc = self.model.config
-        cond = None
-        if not mc.unconditional:
-            if self.config.debug or mc.cond_source == "roll":
-                cond = roll_cond
-            elif waveform is not None:
-                cond = self.model.conditioner(
-                    waveform=waveform,
-                    inpainting_t=self.config.inpainting_t,
-                    inpainting_f=self.config.inpainting_f,
-                )
-            elif mc.cond_source == "spec":
-                # generation-from-noise on a conditional model: the trained
-                # unconditional mode is conditioner := -1 (the CFG dropout
-                # embedding, reference model/diffwave.py:656-660) — NOT a
-                # skipped conditioner path, which the net never saw
-                cond = jnp.full((x_T.shape[0], x_T.shape[1], mc.n_mels), -1.0)
+        cond = self.build_conditioner(x_T, waveform, roll_cond)
         step = self.make_step_fn(params, cond)
         return sample_loop(
             step, x_T, self.config.timesteps, key,

@@ -75,3 +75,27 @@ def test_sample_sequence_parallel_end_to_end(setup):
     ref, _ = task.sample(params, x_T, jax.random.key(6), waveform=wav)
     np.testing.assert_allclose(np.asarray(x0), np.asarray(ref),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_sample_sequence_parallel_generation_matches_dense(setup):
+    """Generation-from-noise must use the trained spec:=-1 substitution in
+    the sequence-parallel path too (shared task plumbing)."""
+    model, params, mesh = setup
+    task = DiffusionTask(model, TaskConfig(
+        timesteps=MAX_STEPS, sampling_type="generation_ddpm_x0",
+        use_fused=False))
+    x_T = jax.random.normal(jax.random.key(7), (1, T, 88))
+    gen, _ = sample_sequence_parallel(task, params, x_T, jax.random.key(8),
+                                      mesh)
+    ref, _ = task.sample(params, x_T, jax.random.key(8))
+    np.testing.assert_allclose(np.asarray(gen), np.asarray(ref),
+                               atol=5e-3, rtol=5e-3)
+
+
+def test_sequence_parallel_rejects_undersized_shards(setup):
+    model, params, mesh = setup
+    x = jax.random.normal(jax.random.key(9), (1, 32, 88))  # 4 frames/shard
+    with pytest.raises(ValueError, match="halo"):
+        sequence_parallel_forward(
+            mesh, params, x, jnp.zeros((1,), jnp.int32), None,
+            n_layers=L, dilations=DIL, max_steps=MAX_STEPS)

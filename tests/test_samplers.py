@@ -264,6 +264,11 @@ def test_generation_uses_trained_unconditional_mode():
     model = models.build("ClassifierFreeDiffRoll", residual_channels=16,
                          residual_layers=2, frames=32, timesteps=6)
     params = model.init(jax.random.key(0))
+    # randomize the zero-init head: with it at zero every forward is
+    # conditioner-independent and the test would be vacuous
+    op = params["params"]["output_projection"]
+    op["kernel"] = jax.random.normal(jax.random.PRNGKey(9),
+                                     op["kernel"].shape) * 0.1
     task = DiffusionTask(model, TaskConfig(timesteps=6,
                                            sampling_type="generation_ddpm_x0"))
     x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 88))
