@@ -5,15 +5,20 @@ of the framework — the data-path loops that dominate epoch time outside
 the accelerator (SURVEY.md §2b): polyphase resampling, MIDI->roll
 rasterization, and the sequential note-event decoder scan.
 
-The library builds on first use with the system C++ toolchain
-(`g++ -O3 -march=native -shared -fPIC`) into `_build/`; every entry point
-has a pure-numpy fallback, so missing compilers degrade gracefully.
+The library always builds locally on first use with the system C++
+toolchain (`g++ -O3 -march=native -shared -fPIC`) into `_build/` — the
+binary is never distributed (gitignored), so host-specific codegen is
+safe. A cached binary is reused only when its build fingerprint (source
+hash + compiler identity + flags) matches; a binary from a different
+host or toolchain is recompiled, never dlopened. Every entry point has a
+pure-numpy fallback, so missing compilers degrade gracefully.
 `diffroll_tpu.native.available()` reports which tier is active.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import math
 import pathlib
 import subprocess
@@ -26,18 +31,40 @@ _HERE = pathlib.Path(__file__).parent
 _SRC = _HERE / "src" / "native.cpp"
 _BUILD = _HERE / "_build"
 _LIB_PATH = _BUILD / "libdiffroll_native.so"
+_FPR_PATH = _BUILD / "fingerprint.txt"
+_CXX_FLAGS = ["-O3", "-march=native", "-shared", "-fPIC"]
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _compile() -> bool:
+def _fingerprint() -> Optional[str]:
+    """Hash of everything that determines the binary: source bytes,
+    compiler identity (incl. host arch via -dumpmachine), and flags.
+    A foreign binary (e.g. built with different ISA extensions) can
+    SIGILL on dlopen/call, so an mtime check is not enough."""
+    try:
+        cxx_id = subprocess.run(
+            ["g++", "--version"], capture_output=True, timeout=30,
+        ).stdout + subprocess.run(
+            ["g++", "-dumpmachine"], capture_output=True, timeout=30,
+        ).stdout
+    except (OSError, subprocess.SubprocessError):
+        return None
+    h = hashlib.sha256()
+    h.update(_SRC.read_bytes())
+    h.update(cxx_id)
+    h.update(" ".join(_CXX_FLAGS).encode())
+    return h.hexdigest()
+
+
+def _compile(fpr: str) -> bool:
     _BUILD.mkdir(exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           str(_SRC), "-o", str(_LIB_PATH)]
+    cmd = ["g++", *_CXX_FLAGS, str(_SRC), "-o", str(_LIB_PATH)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        _FPR_PATH.write_text(fpr)
         return True
     except (OSError, subprocess.SubprocessError):
         return False
@@ -49,9 +76,12 @@ def _load() -> Optional[ctypes.CDLL]:
         if _tried:
             return _lib
         _tried = True
-        src_newer = (not _LIB_PATH.exists()
-                     or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime)
-        if src_newer and not _compile():
+        fpr = _fingerprint()
+        if fpr is None:
+            return None
+        cached = (_LIB_PATH.exists() and _FPR_PATH.exists()
+                  and _FPR_PATH.read_text().strip() == fpr)
+        if not cached and not _compile(fpr):
             return None
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))

@@ -78,11 +78,20 @@ def transcribe_long(
 ) -> np.ndarray:
     """Transcribe a waveform of ANY length -> (n_frames, 88) roll.
 
+    `sample_rate` is the rate of `audio`; input at any other rate than the
+    model's (`model.config.mel.sample_rate`) is resampled here, so callers
+    never window on the wrong grid.
+
     One jitted sampler of fixed (batch_size, frames, 88) shape; window
     batches are padded to that shape (no retraces) and, given a `mesh`,
     sharded over its `data` axis.
     """
     mc = task.model.config
+    if sample_rate != mc.mel.sample_rate:
+        from .. import native
+
+        audio = native.resample(np.asarray(audio, np.float32),
+                                sample_rate, mc.mel.sample_rate)
     frames = mc.frames
     hop = mc.mel.hop_length
     seq_len = frames * hop

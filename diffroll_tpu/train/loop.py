@@ -39,6 +39,23 @@ def _mean_losses(records) -> Dict[str, float]:
     return {k: float(np.mean([float(r[k]) for r in records])) for k in keys}
 
 
+def _resolve_monitor(
+    monitor: str,
+    train_losses: Dict[str, Any],
+    val_losses: Dict[str, float],
+) -> Optional[float]:
+    """Look the checkpoint monitor up by its prefix: 'train/x' reads the
+    last train-step losses even when a val loader exists (the
+    unsupervised-pretrain recipe monitors train/diffusion_loss on MAESTRO,
+    which HAS a val split — reference config/unsupervised_pretrained.yaml:
+    40-46), anything else reads the epoch's mean val losses."""
+    if monitor.startswith("train/"):
+        key = monitor.removeprefix("train/")
+        return float(train_losses[key]) if key in train_losses else None
+    key = monitor.removeprefix("val/")
+    return val_losses.get(key, None)
+
+
 def fit(
     task,
     state: TrainState,
@@ -102,7 +119,7 @@ def fit(
 
         run_val = (epoch + 1) % trainer.check_val_every_n_epoch == 0
         if run_val:
-            monitored = None
+            val_losses: Dict[str, float] = {}
             if val_loader is not None:
                 records = []
                 extra: Dict[str, float] = {}
@@ -123,11 +140,9 @@ def fit(
                     scalars = {f"val/{k}": v for k, v in val_losses.items()}
                     scalars.update(extra)
                     logger.log_scalars(global_step, scalars)
-                monitored = val_losses.get(
-                    trainer.monitor.removeprefix("val/"), None
-                )
-            elif trainer.monitor.startswith("train/") and losses:
-                monitored = float(losses[trainer.monitor.removeprefix("train/")])
+            monitored = _resolve_monitor(trainer.monitor, losses, val_losses)
+            if monitored is None and logger is not None and (losses or val_losses):
+                logger.log_scalars(global_step, {"warn/monitor_unresolved": 1.0})
 
             if checkpointer is not None:
                 if trainer.save_last:

@@ -77,3 +77,32 @@ def test_extract_notes_matches_numpy():
         native._lib, native._tried = avail, tried
     np.testing.assert_array_equal(p_n, p_py)
     np.testing.assert_array_equal(i_n, i_py)
+
+
+def test_build_fingerprint_gates_cached_binary(tmp_path, monkeypatch):
+    """A cached .so is reused only when its recorded build fingerprint
+    matches the current (source, compiler, flags) hash — a binary from a
+    foreign host must be recompiled, never dlopened (it can SIGILL)."""
+    import importlib
+
+    import diffroll_tpu.native as nat
+
+    fpr = nat._fingerprint()
+    assert fpr is not None and len(fpr) == 64
+    # deterministic for fixed inputs
+    assert nat._fingerprint() == fpr
+
+    # simulate a foreign binary: same .so on disk, stale fingerprint
+    build = tmp_path / "_build"
+    build.mkdir()
+    lib = build / "libdiffroll_native.so"
+    lib.write_bytes(b"\x7fELF not a real library")
+    (build / "fingerprint.txt").write_text("0" * 64)
+    monkeypatch.setattr(nat, "_BUILD", build)
+    monkeypatch.setattr(nat, "_LIB_PATH", lib)
+    monkeypatch.setattr(nat, "_FPR_PATH", build / "fingerprint.txt")
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_tried", False)
+    assert nat._load() is not None  # recompiled, not the fake binary
+    assert (build / "fingerprint.txt").read_text().strip() == fpr
+    assert lib.stat().st_size > 100  # real library replaced the stub

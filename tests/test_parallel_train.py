@@ -224,3 +224,57 @@ def test_ema_tracking_and_eval_preference(tmp_path):
         lambda a, b: a + float(jnp.abs(b).sum()),
         jax.tree_util.tree_map(lambda e, p: e - p, ema, state.params), 0.0)
     assert diff > 0.0
+
+
+def test_monitor_resolution_by_prefix():
+    """'train/x' monitors read train losses even when a val loader exists
+    (the unsupervised-pretrain recipe); 'val/x' reads val losses."""
+    from diffroll_tpu.train.loop import _resolve_monitor
+
+    train = {"diffusion_loss": 0.25}
+    val = {"diffusion_loss": 0.5}
+    assert _resolve_monitor("train/diffusion_loss", train, val) == 0.25
+    assert _resolve_monitor("val/diffusion_loss", train, val) == 0.5
+    assert _resolve_monitor("diffusion_loss", train, val) == 0.5  # bare = val
+    assert _resolve_monitor("train/nope", train, val) is None
+    assert _resolve_monitor("val/nope", train, val) is None
+
+
+def test_train_monitor_saves_best_despite_val_loader(tmp_path):
+    """Best-checkpoint saves must fire for monitor='train/diffusion_loss'
+    even when a val_loader is present (round-1 advisor finding: the
+    lookup went to val_losses and never resolved)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffroll_tpu import models
+    from diffroll_tpu.config.experiment import TrainerConfig
+    from diffroll_tpu.tasks import DiffusionTask, TaskConfig
+    from diffroll_tpu.train import (
+        Checkpointer,
+        TrainState,
+        fit,
+        make_optimizer,
+    )
+
+    model = models.build("ClassifierFreeDiffRoll", residual_channels=8,
+                         residual_layers=2, frames=16, timesteps=4)
+    task = DiffusionTask(model, TaskConfig(timesteps=4))
+    params = model.init(jax.random.key(0))
+    tx = make_optimizer(1e-2)
+    state = TrainState.create(params, tx)
+    batch = {
+        "frame": (jax.random.uniform(jax.random.key(1), (2, 16, 88)) > 0.8
+                  ).astype(jnp.float32),
+        "audio": jax.random.normal(jax.random.key(2), (2, 16 * 512)),
+    }
+    ckpt = Checkpointer(tmp_path / "ck")
+    fit(task, state, [batch], tx,
+        trainer=TrainerConfig(max_epochs=1, check_val_every_n_epoch=1,
+                              monitor="train/diffusion_loss",
+                              log_every_n_steps=1),
+        val_loader=[batch],
+        checkpointer=ckpt)
+    ckpt.wait()
+    steps = [p.name for p in (tmp_path / "ck").iterdir()]
+    assert any(s.startswith("step_") and "last" not in s for s in steps), steps

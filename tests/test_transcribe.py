@@ -79,3 +79,17 @@ def test_transcribe_long_sharded_windows(tiny_task):
                            batch_size=4, overlap_frames=0, mesh=mesh)
     assert roll.shape == (SEQ * 5 // HOP, 88)
     assert np.isfinite(roll).all()
+
+
+def test_transcribe_long_resamples_foreign_rate(tiny_task):
+    """Audio at a non-model sample rate is resampled internally, so the
+    output frame count follows the clip's DURATION, not its raw length
+    (round-1 advisor finding: the parameter used to be silently ignored)."""
+    task, params = tiny_task
+    seconds = SEQ * 1.5 / 16000
+    audio_8k = np.random.RandomState(3).randn(int(seconds * 8000)).astype(np.float32)
+    roll = transcribe_long(task, params, audio_8k, jax.random.key(4),
+                           sample_rate=8000, batch_size=2, overlap_frames=0)
+    expected_frames = int(np.ceil(seconds * 16000 / HOP))
+    assert abs(roll.shape[0] - expected_frames) <= 1
+    assert np.isfinite(roll).all()
