@@ -23,10 +23,15 @@ from ..utils.logging import MetricLogger
 
 def build_dataset(ds: DatasetConfig, split: str):
     """split in {'train', 'validation', 'test'} (reference groups knob)."""
+    overlap = ds.overlap
+    if overlap is None:
+        # reference defaults: random train windows; eval splits enumerate
+        # consecutive windows covering each recording (MAPS.yaml:15/29/44)
+        overlap = split != "train"
     common = dict(
         sequence_length=ds.sequence_length, seed=ds.seed,
         hop_length=ds.hop_length, min_midi=ds.min_midi, max_midi=ds.max_midi,
-        sampling_rate=ds.sampling_rate, preload=ds.preload,
+        sampling_rate=ds.sampling_rate, preload=ds.preload, overlap=overlap,
     )
     if ds.name == "MAPS":
         groups = "train" if split in ("train", "validation") else "test"

@@ -73,24 +73,63 @@ def run_test(cfg, model, task, state, artifacts_dir=None,
 
     per_thr: Dict[float, List[Dict[str, float]]] = {t: [] for t in thresholds}
     n_clips = 0
+    exported = False
+    # per-recording reassembly (the reference eval protocol: `overlap: True`
+    # splits enumerate consecutive windows covering each recording,
+    # reference config/dataset/MAPS.yaml:29-44) — windows accumulate per
+    # clip_idx and score as ONE full-recording roll once complete
+    pending: Dict[int, Dict] = {}
+
+    def score(pred_roll, label_roll, weight):
+        nonlocal n_clips
+        for thr in thresholds:
+            m = evaluate_rolls(
+                pred_roll, label_roll,
+                frame_threshold=thr,
+                hop_length=cfg.dataset.hop_length,
+                sample_rate=cfg.dataset.sampling_rate,
+            )
+            m["_n"] = weight
+            per_thr[thr].append(m)
+        n_clips += weight
+
+    def finalize(ent):
+        starts = sorted(ent["pred"])
+        pred_full = np.concatenate([ent["pred"][s] for s in starts])
+        label_full = np.concatenate([ent["label"][s] for s in starts])
+        n = ent["n_frames"]
+        score(pred_full[None, :n], label_full[None, :n], 1)
+
     for batch in loader:
         frame = jnp.asarray(batch["frame"])
         audio = shard(jnp.asarray(batch["audio"]))
         key, noise_key, samp_key = jax.random.split(key, 3)
         x_T = shard(jax.random.normal(noise_key, frame.shape))
         pred = np.asarray(sample(state.params, x_T, samp_key, audio))
-        if artifacts_dir is not None and n_clips == 0:
+        if artifacts_dir is not None and not exported:
             _export_batch_artifacts(artifacts_dir, cfg, pred, batch)
-        for thr in thresholds:
-            m = evaluate_rolls(
-                pred, np.asarray(batch["frame"]),
-                frame_threshold=thr,
-                hop_length=cfg.dataset.hop_length,
-                sample_rate=cfg.dataset.sampling_rate,
-            )
-            m["_n"] = frame.shape[0]
-            per_thr[thr].append(m)
-        n_clips += int(frame.shape[0])
+            exported = True
+        if "clip_idx" in batch:
+            win_frames = pred.shape[1]
+            labels = np.asarray(batch["frame"])
+            for j in range(pred.shape[0]):
+                ci = int(batch["clip_idx"][j])
+                ent = pending.setdefault(
+                    ci, {"pred": {}, "label": {},
+                         "n_frames": int(batch["n_clip_frames"][j])})
+                sf = int(batch["start_frame"][j])
+                ent["pred"][sf] = pred[j]
+                ent["label"][sf] = labels[j]
+            for ci in sorted(pending):
+                ent = pending[ci]
+                expected = max(1, -(-ent["n_frames"] // win_frames))
+                if len(ent["pred"]) >= expected:
+                    finalize(pending.pop(ci))
+        else:
+            score(pred, np.asarray(batch["frame"]), int(frame.shape[0]))
+
+    for ci in sorted(pending):  # safety net — shouldn't trigger
+        finalize(pending.pop(ci))
 
     if n_clips == 0:
         raise FileNotFoundError("test split resolved to zero batches")

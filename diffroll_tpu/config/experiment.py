@@ -31,6 +31,10 @@ class DatasetConfig:
     sampling_rate: int = 16000
     download: bool = False
     preload: bool = False
+    # eval segmentation (reference config/dataset/MAPS.yaml:15/29/44):
+    # None = reference defaults (train False, val/test True); with True an
+    # eval split enumerates consecutive windows covering every recording
+    overlap: Optional[bool] = None
     # Custom-folder knobs (reference utils/custom_dataset.py ctor)
     audio_path: str = "my_audio"
     audio_ext: str = "wav"

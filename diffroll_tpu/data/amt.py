@@ -33,7 +33,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..io.midi import MidiNote, read_midi
-from ..io.wav import read_wav, resample
+from ..io.wav import read_wav, resample, resampled_length, wav_info
 from .rasterize import rasterize_notes
 
 
@@ -68,6 +68,7 @@ class PairedAudioMidi:
         preload: bool = False,
         deterministic: bool = False,
         extend_sustain: bool = True,
+        overlap: bool = False,
     ):
         if not pairs:
             raise FileNotFoundError("dataset resolved to zero (audio, label) pairs")
@@ -79,6 +80,15 @@ class PairedAudioMidi:
         self.sampling_rate = sampling_rate
         self.deterministic = deterministic
         self.extend_sustain = extend_sustain
+        # eval segmentation (the reference's `overlap: True` eval knob,
+        # reference config/dataset/MAPS.yaml:26-44): the dataset enumerates
+        # consecutive sequence_length windows COVERING every recording, so
+        # eval scores full clips, not just each clip's head. Window items
+        # carry clip_idx / start_frame / n_clip_frames so the eval loop can
+        # reassemble per-recording rolls.
+        self.overlap = bool(overlap) and sequence_length is not None
+        self._windows: Optional[List[Tuple[int, int]]] = None
+        self._lengths: Dict[int, int] = {}
         self._rng = np.random.RandomState(seed)
         self._audio_cache: Dict[int, np.ndarray] = {}
         self._notes_cache: Dict[int, List[MidiNote]] = {}
@@ -88,7 +98,35 @@ class PairedAudioMidi:
                 self._notes(i)
 
     def __len__(self) -> int:
+        if self.overlap:
+            return len(self._window_index())
         return len(self.pairs)
+
+    def _length(self, idx: int) -> int:
+        """Clip length in samples at the target rate, from the WAV header
+        (no decode) unless the clip is already cached."""
+        if idx not in self._lengths:
+            if idx in self._audio_cache:
+                self._lengths[idx] = len(self._audio_cache[idx])
+            else:
+                n, sr = wav_info(self.pairs[idx][0])
+                self._lengths[idx] = resampled_length(n, sr, self.sampling_rate)
+        return self._lengths[idx]
+
+    def _window_index(self) -> List[Tuple[int, int]]:
+        if self._windows is None:
+            # stride by whole FRAMES (a window labels seq//hop frames), so
+            # consecutive windows tile the frame grid exactly even when
+            # sequence_length is not a hop multiple
+            win_frames = max(self.sequence_length // self.hop_length, 1)
+            stride = win_frames * self.hop_length
+            wins: List[Tuple[int, int]] = []
+            for i in range(len(self.pairs)):
+                total_frames = max(1, -(-self._length(i) // self.hop_length))
+                for w in range(max(1, -(-total_frames // win_frames))):
+                    wins.append((i, w * stride))
+            self._windows = wins
+        return self._windows
 
     def _audio(self, idx: int) -> np.ndarray:
         if idx not in self._audio_cache:
@@ -110,23 +148,31 @@ class PairedAudioMidi:
         return self._notes_cache[idx]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        audio = self._audio(idx)
-        notes = self._notes(idx)
+        if self.overlap:
+            clip_idx, start = self._window_index()[idx]
+            return self._window(clip_idx, start, with_meta=True)
+        return self._window(idx, None)
+
+    def _window(self, clip_idx: int, start: Optional[int],
+                with_meta: bool = False) -> Dict[str, np.ndarray]:
+        """One sequence_length window of clip `clip_idx`. `start=None`
+        picks it (random hop-aligned in train, 0 when deterministic)."""
+        audio = self._audio(clip_idx)
+        notes = self._notes(clip_idx)
         seq = self.sequence_length
         if seq is None:
-            seq = len(audio) // self.hop_length * self.hop_length
+            seq = max(len(audio) // self.hop_length, 1) * self.hop_length
 
-        if len(audio) <= seq:
-            start = 0
-            audio_seg = np.pad(audio, (0, seq - len(audio)))
-        else:
-            if self.deterministic:
+        if start is None:
+            if self.deterministic or len(audio) <= seq:
                 start = 0
             else:
                 # align segment starts to the hop grid so roll frames line up
                 max_start = (len(audio) - seq) // self.hop_length
                 start = int(self._rng.randint(0, max_start + 1)) * self.hop_length
-            audio_seg = audio[start : start + seq]
+        audio_seg = audio[start : start + seq]
+        if len(audio_seg) < seq:
+            audio_seg = np.pad(audio_seg, (0, seq - len(audio_seg)))
 
         n_frames = seq // self.hop_length
         t0 = start / self.sampling_rate
@@ -138,7 +184,13 @@ class PairedAudioMidi:
             shifted, n_frames, self.hop_length, self.sampling_rate,
             self.min_midi, self.max_midi,
         )
-        return {"frame": frame, "audio": audio_seg, "onset": onset}
+        item = {"frame": frame, "audio": audio_seg, "onset": onset}
+        if with_meta:
+            item["clip_idx"] = np.int32(clip_idx)
+            item["start_frame"] = np.int32(start // self.hop_length)
+            item["n_clip_frames"] = np.int32(
+                max(1, -(-len(audio) // self.hop_length)))
+        return item
 
 
 def _find_label(audio: pathlib.Path) -> Optional[pathlib.Path]:
@@ -167,7 +219,7 @@ class MAPS(PairedAudioMidi):
         groups: str = "train",
         data_type: str = "MUS",
         download: bool = False,
-        overlap: bool = True,
+        overlap: Optional[bool] = None,
         **kw,
     ):
         if download:
@@ -175,7 +227,11 @@ class MAPS(PairedAudioMidi):
                 "this environment has no network egress; place MAPS under "
                 f"{root}/MAPS/<subset>/{data_type}/ manually"
             )
-        del overlap  # eval windows are handled by `deterministic`
+        if overlap is None:
+            # reference defaults: random windows in train, full-coverage
+            # eval segmentation otherwise (config/dataset/MAPS.yaml:15,29,44)
+            overlap = groups != "train"
+        kw["overlap"] = overlap
         base = pathlib.Path(root)
         maps_root = base / "MAPS" if (base / "MAPS").exists() else base
         subsets = _MAPS_TRAIN_SUBSETS if groups == "train" else _MAPS_TEST_SUBSETS
@@ -202,6 +258,7 @@ class MAESTRO(PairedAudioMidi):
         root: str,
         groups: str = "train",
         download: bool = False,
+        overlap: Optional[bool] = None,
         **kw,
     ):
         if download:
@@ -209,6 +266,7 @@ class MAESTRO(PairedAudioMidi):
                 "this environment has no network egress; place MAESTRO under "
                 f"{root}/maestro-v*/ manually"
             )
+        kw["overlap"] = groups != "train" if overlap is None else overlap
         base = pathlib.Path(root)
         candidates = sorted(base.glob("maestro-v*")) or [base]
         droot = candidates[-1]

@@ -63,6 +63,46 @@ def read_wav(path: str | pathlib.Path, mono: bool = True) -> Tuple[np.ndarray, i
     return x, sr
 
 
+def wav_info(path: str | pathlib.Path) -> Tuple[int, int]:
+    """(n_samples_per_channel, sample_rate) from the WAV header alone —
+    no sample decode, so eval-segmentation indices over a large test set
+    build in O(files) header reads. Falls back to a full decode for
+    non-RIFF files (mp3 via ffmpeg)."""
+    path = str(path)
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            x, sr = read_wav(path, mono=True)
+            return x.shape[-1], sr
+        fmt = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid = hdr[:4]
+            (size,) = struct.unpack("<I", hdr[4:8])
+            if cid == b"fmt ":
+                body = f.read(16)
+                f.seek(size - 16 + (size & 1), 1)
+                fmt = struct.unpack("<HHIIHH", body)
+            elif cid == b"data" and fmt is not None:
+                _, ch, sr, _, block_align, bits = fmt
+                ba = block_align or max(1, ch * (bits // 8))
+                return size // ba, sr
+            else:
+                f.seek(size + (size & 1), 1)
+    raise ValueError(f"{path}: no data chunk")
+
+
+def resampled_length(n: int, orig_sr: int, target_sr: int) -> int:
+    """Output length of the polyphase resamplers here (native + scipy
+    resample_poly agree): ceil(n * up / down)."""
+    if orig_sr == target_sr:
+        return int(n)
+    g = math.gcd(int(orig_sr), int(target_sr))
+    return -(-int(n) * (target_sr // g) // (orig_sr // g))
+
+
 def _read_float_wav(path: str):
     with open(path, "rb") as f:
         data = f.read()

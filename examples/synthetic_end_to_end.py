@@ -108,14 +108,37 @@ def main():
                   f"({time.time()-t0:.0f}s)", file=sys.stderr)
 
     print("transcribing held-out clips...", file=sys.stderr)
-    run = jax.jit(lambda p, x, k, w: task.sample(p, x, k, waveform=w)[0])
-    key, nk, sk = jax.random.split(key, 3)
-    x_T = jax.random.normal(nk, (n_test, FRAMES, 88))
-    pred = run(state.params, x_T, sk, test_audio)
-    m = evaluate_rolls(np.asarray(pred), test_frame, frame_threshold=0.5,
-                       hop_length=HOP, sample_rate=SR)
+
+    def score(sampler, n_steps):
+        t2 = DiffusionTask(model, task.config.replace(
+            sampling_type=sampler, sampling_steps=n_steps))
+        run = jax.jit(lambda p, x, k, w: t2.sample(p, x, k, waveform=w)[0])
+        key2, nk, sk = jax.random.split(jax.random.key(7), 3)
+        x_T = jax.random.normal(nk, (n_test, FRAMES, 88))
+        pred = run(state.params, x_T, sk, test_audio)
+        return evaluate_rolls(np.asarray(pred), test_frame,
+                              frame_threshold=0.5, hop_length=HOP,
+                              sample_rate=SR)
+
+    m = score(task.config.sampling_type, task.config.sampling_steps)
     m["train_steps"] = steps
     m["wall_s"] = round(time.time() - t0, 1)
+
+    if ARGS.get("sweep_steps"):
+        # quality-vs-steps curve: how few reverse steps keep dense-schedule
+        # F1 (the strided few-step fast path, diffusion/loop.py)
+        m["steps_sweep"] = {}
+        for sampler in ("cfdg_ddpm_x0", "cfdg_ddim_x0"):
+            for n_steps in (None, 50, 20, 10):
+                s = score(sampler, n_steps)
+                tag = f"{sampler}@{n_steps or TIMESTEPS}"
+                m["steps_sweep"][tag] = {
+                    "note_f1": round(s["note_f1"], 3),
+                    "frame_f1": round(s["frame_f1"], 3),
+                }
+                print(f"{tag}: note {s['note_f1']:.3f} "
+                      f"frame {s['frame_f1']:.3f}", file=sys.stderr)
+
     print(json.dumps(m, indent=2))
     return m
 

@@ -203,3 +203,83 @@ def test_full_scale_reference_state_dict_structure():
                       jnp.zeros((1, 640, 88)), jnp.zeros((1,), jnp.int32),
                       jnp.zeros((1, 640, 229)), None)
     assert out.shape == (1, 640, 88)
+
+
+def _reference_cfdg_ddpm_x0_loop(model, x_T, spec, w, betas, noises):
+    """Fresh torch reimplementation of the reference's full test-time
+    sampling loop: T steps of cfdg_ddpm_x0 (reference task/diffusion.py:
+    765-790 loop, :943-969 step — CFG mix (1+w)c - w u, posterior step from
+    the x0 prediction, the odd t==0 branch, per-step Gaussian noise).
+    The unconditional branch conditions on spec := -1 (the effect of
+    `sampling=True`, reference model/diffwave.py:656-660)."""
+    alphas = 1.0 - betas
+    alphas_cumprod = torch.cumprod(alphas, dim=0)
+    sac = torch.sqrt(alphas_cumprod)
+    s1m = torch.sqrt(1.0 - alphas_cumprod)
+    x = x_T.clone()
+    traj = []
+    uncond = torch.full_like(spec, -1.0)
+    for i, t in enumerate(reversed(range(len(betas)))):
+        t_vec = torch.full((x.shape[0],), t, dtype=torch.long)
+        with torch.no_grad():
+            x0_c = model(x, t_vec, spec)
+            x0_u = model(x, t_vec, uncond)
+        x0 = (1.0 + w) * x0_c - w * x0_u
+        if t == 0:
+            x = x0 / sac[0]
+        else:
+            sigma = (s1m[t - 1] / s1m[t]) * torch.sqrt(1.0 - alphas[t])
+            x = (sac[t - 1] * x0
+                 + torch.sqrt(1.0 - sac[t - 1] ** 2 - sigma ** 2)
+                 * (x - sac[t] * x0) / s1m[t]
+                 + sigma * noises[i])
+        traj.append(x.clone())
+    return x, traj
+
+
+@pytest.mark.parametrize("use_fused", [False, True])
+def test_sampler_trajectory_parity_vs_torch_oracle(torch_model, use_fused):
+    """END-TO-END parity: `DiffusionTask.sample` (flagship cfdg_ddpm_x0,
+    converted torch weights, shared per-step noise) must reproduce the
+    reference sampling trajectory step for step — one test that catches
+    any schedule/sampler/net/weight-conversion regression at once. Runs
+    both the flax path and the fused-stack path (XLA variant on CPU)."""
+    from diffroll_tpu import models
+    from diffroll_tpu.tasks import DiffusionTask, TaskConfig
+
+    W = 0.5
+    params = {"params": convert_state_dict(torch_model.state_dict())}
+    model = models.build(
+        "ClassifierFreeDiffRoll", residual_channels=C, residual_layers=LAYERS,
+        kernel_size=K, dilation_bound=2, frames=T_FRAMES,
+        timesteps=MAX_STEPS, n_mels=N_MELS)
+    task = DiffusionTask(model, TaskConfig(
+        timesteps=MAX_STEPS, w=W, sampling_type="cfdg_ddpm_x0",
+        debug=True, use_fused=use_fused))
+
+    rng = np.random.RandomState(2)
+    x_T = rng.randn(2, T_FRAMES, 88).astype(np.float32)
+    spec = rng.rand(2, T_FRAMES, N_MELS).astype(np.float32)
+
+    key = jax.random.key(5)
+    x0_jax, traj_jax = task.sample(params, jnp.asarray(x_T), key,
+                                   roll_cond=jnp.asarray(spec),
+                                   record_every=1)
+
+    # replay the exact same per-step noises in the torch loop
+    keys = jax.random.split(key, MAX_STEPS)
+    noises = [torch.from_numpy(np.asarray(jax.random.normal(k, x_T.shape)))
+              for k in keys]
+    betas = torch.linspace(1e-4, 0.02, MAX_STEPS)
+    x0_ref, traj_ref = _reference_cfdg_ddpm_x0_loop(
+        torch_model, torch.from_numpy(x_T), torch.from_numpy(spec), W,
+        betas, noises)
+
+    np.testing.assert_allclose(np.asarray(x0_jax), x0_ref.numpy(),
+                               atol=5e-4, rtol=1e-3)
+    traj_jax = np.asarray(traj_jax)
+    assert traj_jax.shape[0] == len(traj_ref) == MAX_STEPS
+    for i in range(MAX_STEPS):
+        np.testing.assert_allclose(
+            traj_jax[i], traj_ref[i].numpy(), atol=5e-4, rtol=1e-3,
+            err_msg=f"trajectory diverged at reverse step {i}")

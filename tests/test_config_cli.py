@@ -286,3 +286,43 @@ def test_cli_specunet_trains(maps_tree, tmp_path):
     ])
     metrics = json.loads(sorted(out.rglob("test_metrics.json"))[0].read_text())
     assert 0.0 <= metrics["frame_f1"] <= 1.0
+
+
+def test_cli_test_scores_full_recordings(tmp_path):
+    """The eval protocol scores FULL recordings: a test clip longer than one
+    window is reassembled from its consecutive windows and scored as one
+    recording (reference `overlap: True`, config/dataset/MAPS.yaml:29-44;
+    round-1 gap: eval used to score only each clip's first window)."""
+    import jax
+
+    from diffroll_tpu.cli import _common
+    from diffroll_tpu.cli.test import run_test
+    from diffroll_tpu.train.state import TrainState, make_optimizer
+
+    # 2 test recordings of ~2.4 windows each -> 3 windows per recording
+    for subset in ("AkPnBcht", "ENSTDkAm"):
+        d = tmp_path / "MAPS" / subset / "MUS"
+        d.mkdir(parents=True)
+        for i in range(2):
+            make_clip(d / f"clip{i}", seconds=2.4 * SEQ / SR)
+
+    cfg = compose("test", dict(zip(
+        ["model.residual_channels", "model.residual_layers", "model.frames",
+         "task.timesteps", "dataloader.test_batch_size",
+         "dataloader.num_workers", "dataset.sequence_length",
+         "dataset.root", "trainer.output_dir"],
+        [8, 2, FRAMES, 4, 2, 1, SEQ, str(tmp_path), str(tmp_path / "out")])))
+    model, task = _common.setup_model_task(cfg)
+    params = model.init(jax.random.key(0))
+    state = TrainState.create(params, make_optimizer(1e-4))
+
+    # sanity: the test loader enumerates 3 windows x 2 recordings
+    ds = _common.build_dataset(cfg.dataset, "test")
+    assert len(ds) == 6
+    it = ds[0]
+    assert {"clip_idx", "start_frame", "n_clip_frames"} <= set(it.keys())
+
+    metrics = run_test(cfg, model, task, state)
+    assert metrics["n_clips"] == 2  # recordings, not windows
+    assert 0.0 <= metrics["frame_f1"] <= 1.0
+    assert 0.0 <= metrics["note_f1"] <= 1.0

@@ -76,7 +76,11 @@ def test_rasterize_roundtrip():
 def test_maps_split_and_item(maps_tree):
     train = MAPS(str(maps_tree), groups="train", sequence_length=SR * 2)
     test = MAPS(str(maps_tree), groups="test", sequence_length=SR * 2)
-    assert len(train) == 2 and len(test) == 2
+    # train samples one random window per clip; the eval split enumerates
+    # consecutive windows covering each 4 s clip
+    win_frames = SR * 2 // HOP
+    per_clip = int(np.ceil(np.ceil(4.0 * SR / HOP) / win_frames))
+    assert len(train) == 2 and len(test) == 2 * per_clip
     item = train[0]
     assert item["audio"].shape == (SR * 2,)
     assert item["frame"].shape == (SR * 2 // HOP, 88)
@@ -84,6 +88,71 @@ def test_maps_split_and_item(maps_tree):
     # eval split is deterministic
     a, b = test[0], test[0]
     np.testing.assert_array_equal(a["audio"], b["audio"])
+
+
+def test_eval_overlap_covers_full_recording(tmp_path):
+    """The reference eval protocol (`overlap: True`, reference
+    config/dataset/MAPS.yaml:29-44): eval windows must cover >95% of a
+    long clip, reassembling to the original audio, with window metadata
+    consistent."""
+    d = tmp_path / "MAPS" / "ENSTDkAm" / "MUS"
+    d.mkdir(parents=True)
+    seconds = 13.3  # deliberately not a multiple of the window
+    make_clip(d / "long", seconds=seconds)
+    seq = 64 * HOP
+    ds = MAPS(str(tmp_path), groups="test", sequence_length=seq)
+    n_samples = int(seconds * SR)
+    total_frames = int(np.ceil(n_samples / HOP))
+    expected_windows = int(np.ceil(total_frames / (seq // HOP)))
+    assert len(ds) == expected_windows
+
+    items = [ds[i] for i in range(len(ds))]
+    assert all(int(it["clip_idx"]) == 0 for it in items)
+    starts = [int(it["start_frame"]) for it in items]
+    assert starts == [i * seq // HOP for i in range(expected_windows)]
+    covered = len(ds) * seq
+    assert covered >= 0.95 * n_samples  # in fact >= 100%: full coverage
+    # reassembled audio == the original clip (tail zero-padded)
+    audio = np.concatenate([it["audio"] for it in items])
+    from diffroll_tpu.io.wav import read_wav
+
+    orig, _ = read_wav(d / "long.wav")
+    np.testing.assert_allclose(audio[: len(orig)], orig, atol=1e-4)
+    assert np.all(audio[len(orig):] == 0)
+    assert int(items[0]["n_clip_frames"]) == int(np.ceil(n_samples / HOP))
+
+
+def test_eval_overlap_window_rolls_match_full_rasterization(tmp_path):
+    """Window labels concatenated == the full clip rasterized in one go."""
+    from diffroll_tpu.io.midi import read_midi
+
+    d = tmp_path / "MAPS" / "ENSTDkAm" / "MUS"
+    d.mkdir(parents=True)
+    notes = [(60, 0.5, 1.0), (64, 2.9, 4.2), (72, 5.5, 7.0), (50, 7.7, 7.9)]
+    make_clip(d / "c", seconds=8.0, notes=notes)
+    seq = SR * 2  # NOT a hop multiple: stride falls back to whole frames
+    ds = MAPS(str(tmp_path), groups="test", sequence_length=seq)
+    full_frames = int(np.ceil(8.0 * SR / HOP))
+    got = np.concatenate([ds[i]["frame"] for i in range(len(ds))])[:full_frames]
+    midi_notes = read_midi(str(d / "c.mid"))
+    want, _ = rasterize_notes(midi_notes, full_frames, HOP, SR)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wav_info_header_matches_decode(tmp_path):
+    from diffroll_tpu.io.wav import read_wav, resampled_length, wav_info
+
+    p = tmp_path / "x.wav"
+    x = np.random.RandomState(0).randn(44100 + 77).astype(np.float32) * 0.1
+    write_wav(p, x, 44100)
+    n, sr = wav_info(p)
+    dec, dsr = read_wav(p)
+    assert (n, sr) == (len(dec), dsr) == (44100 + 77, 44100)
+    # resampled_length matches the actual resampler output
+    from diffroll_tpu import native
+
+    y = native.resample(dec, 44100, 16000)
+    assert resampled_length(n, 44100, 16000) == len(y)
 
 
 def test_maps_download_raises(maps_tree):
@@ -126,7 +195,10 @@ def test_maestro_metadata_split(maestro_tree):
     train = MAESTRO(str(maestro_tree), groups="train", sequence_length=SR)
     val = MAESTRO(str(maestro_tree), groups="validation", sequence_length=SR)
     test = MAESTRO(str(maestro_tree), groups="test", sequence_length=SR)
-    assert (len(train), len(val), len(test)) == (2, 1, 1)
+    # eval splits enumerate full-coverage windows (1 clip each, 4 s at a
+    # 31-frame window -> 5 windows)
+    per_clip = int(np.ceil(np.ceil(4.0 * SR / HOP) / (SR // HOP)))
+    assert (len(train), len(val), len(test)) == (2, per_clip, per_clip)
     item = val[0]
     assert item["frame"].shape == (SR // HOP, 88)
 
