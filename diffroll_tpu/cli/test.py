@@ -32,7 +32,7 @@ def _export_batch_artifacts(run_dir, cfg, pred, batch):
     audio as wav."""
     import numpy as np
 
-    from ..io.wav import write_wav
+    from ..io.wav import write_audio
     from .sample import export_clip
 
     run_dir.mkdir(parents=True, exist_ok=True)
@@ -41,8 +41,11 @@ def _export_batch_artifacts(run_dir, cfg, pred, batch):
                         pred=pred, label=np.asarray(batch["frame"]))
     for j in range(min(2, pred.shape[0])):
         export_clip(run_dir, f"batch0_clip{j}", pred[j], cfg)
-        write_wav(run_dir / f"batch0_audio{j}.wav",
-                  np.asarray(batch["audio"][j]), cfg.dataset.sampling_rate)
+        # mp3 for reference parity when cfg.audio_format="mp3" (reference
+        # task/diffusion.py:413-415); falls back to wav without an encoder
+        write_audio(run_dir / f"batch0_audio{j}",
+                    np.asarray(batch["audio"][j]), cfg.dataset.sampling_rate,
+                    fmt=cfg.audio_format)
 
 
 def run_test(cfg, model, task, state, artifacts_dir=None,

@@ -108,6 +108,10 @@ class ExperimentConfig:
     dual: bool = False
     # sampling entry knobs (reference config/sampling.yaml)
     num_samples: int = 16
+    # eval audio artifact format: the reference saves mp3 (reference
+    # task/diffusion.py:413-415). "mp3" encodes through an ffmpeg/lame
+    # binary when one exists and falls back to wav otherwise.
+    audio_format: str = "wav"
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

@@ -156,6 +156,44 @@ def write_wav(path: str | pathlib.Path, samples: np.ndarray, sample_rate: int) -
         w.writeframes(pcm.tobytes())
 
 
+def write_mp3(path: str | pathlib.Path, samples: np.ndarray,
+              sample_rate: int) -> pathlib.Path:
+    """Encode float [-1,1] audio to MP3 through an `ffmpeg` or `lame`
+    binary (the reference saves eval audio as mp3 via torchaudio,
+    reference task/diffusion.py:413-415; this image ships no Python
+    audio codecs). When neither encoder exists, falls back to a 16-bit
+    WAV next to the requested path. Returns the path actually written."""
+    path = pathlib.Path(path)
+    ffmpeg = shutil.which("ffmpeg")
+    lame = shutil.which("lame")
+    if ffmpeg is None and lame is None:
+        fallback = path.with_suffix(".wav")
+        write_wav(fallback, samples, sample_rate)
+        return fallback
+    with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+        write_wav(tmp.name, samples, sample_rate)
+        if ffmpeg is not None:
+            cmd = [ffmpeg, "-y", "-v", "error", "-i", tmp.name,
+                   "-codec:a", "libmp3lame", "-b:a", "192k", str(path)]
+        else:
+            cmd = [lame, "--quiet", "-b", "192", tmp.name, str(path)]
+        subprocess.run(cmd, check=True)
+    return path
+
+
+def write_audio(path: str | pathlib.Path, samples: np.ndarray,
+                sample_rate: int, fmt: str = "wav") -> pathlib.Path:
+    """Write audio in the requested artifact format ("wav" | "mp3");
+    returns the path actually written (mp3 may fall back to wav)."""
+    path = pathlib.Path(path).with_suffix(f".{fmt}")
+    if fmt == "mp3":
+        return write_mp3(path, samples, sample_rate)
+    if fmt != "wav":
+        raise ValueError(f"unsupported audio format {fmt!r}")
+    write_wav(path, samples, sample_rate)
+    return path
+
+
 def _resample_scipy(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     from scipy.signal import resample_poly
 

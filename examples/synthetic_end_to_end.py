@@ -87,6 +87,8 @@ def main():
     model = models.build(
         "ClassifierFreeDiffRoll", residual_channels=128, residual_layers=8,
         frames=FRAMES, timesteps=TIMESTEPS, spec_dropout=0.1,
+        dtype=ARGS.get("dtype", "float32"),  # bf16 convergence evidence:
+        # conv compute in bf16, f32 params (VERDICT r1 item 6)
     )
     task = DiffusionTask(model, TaskConfig(
         timesteps=TIMESTEPS, training_mode="x_0", loss_type="l2", lr=4e-4,
@@ -123,6 +125,7 @@ def main():
     m = score(task.config.sampling_type, task.config.sampling_steps)
     m["train_steps"] = steps
     m["wall_s"] = round(time.time() - t0, 1)
+    m["dtype"] = ARGS.get("dtype", "float32")
 
     if ARGS.get("sweep_steps"):
         # quality-vs-steps curve: how few reverse steps keep dense-schedule
