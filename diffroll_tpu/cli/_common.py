@@ -32,6 +32,7 @@ def build_dataset(ds: DatasetConfig, split: str):
         sequence_length=ds.sequence_length, seed=ds.seed,
         hop_length=ds.hop_length, min_midi=ds.min_midi, max_midi=ds.max_midi,
         sampling_rate=ds.sampling_rate, preload=ds.preload, overlap=overlap,
+        max_cache_bytes=ds.max_cache_bytes,
     )
     if ds.name == "MAPS":
         groups = "train" if split in ("train", "validation") else "test"

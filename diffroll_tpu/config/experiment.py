@@ -31,6 +31,9 @@ class DatasetConfig:
     sampling_rate: int = 16000
     download: bool = False
     preload: bool = False
+    # decoded-audio LRU cache bound (bytes); None = unbounded. Default 8 GiB
+    # keeps MAESTRO-scale corpora from exhausting host RAM.
+    max_cache_bytes: Optional[int] = 8 << 30
     # eval segmentation (reference config/dataset/MAPS.yaml:15/29/44):
     # None = reference defaults (train False, val/test True); with True an
     # eval split enumerates consecutive windows covering every recording

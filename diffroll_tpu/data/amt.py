@@ -28,13 +28,15 @@ from __future__ import annotations
 import csv
 import json
 import pathlib
+import threading
+from collections import OrderedDict
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..io.midi import MidiNote, read_midi
 from ..io.wav import read_wav, resample, resampled_length, wav_info
-from .rasterize import rasterize_notes
+from .rasterize import rasterize_arrays
 
 
 def _read_maps_txt(path: pathlib.Path) -> List[MidiNote]:
@@ -69,6 +71,7 @@ class PairedAudioMidi:
         deterministic: bool = False,
         extend_sustain: bool = True,
         overlap: bool = False,
+        max_cache_bytes: Optional[int] = 8 << 30,
     ):
         if not pairs:
             raise FileNotFoundError("dataset resolved to zero (audio, label) pairs")
@@ -90,8 +93,19 @@ class PairedAudioMidi:
         self._windows: Optional[List[Tuple[int, int]]] = None
         self._lengths: Dict[int, int] = {}
         self._rng = np.random.RandomState(seed)
-        self._audio_cache: Dict[int, np.ndarray] = {}
+        # decoded-audio memo-cache, LRU-bounded: MAESTRO-scale corpora
+        # (~200 h -> ~46 GB of f32 @ 16 kHz) cannot be held whole in host
+        # RAM; least-recently-used clips are evicted past max_cache_bytes
+        # (None = unbounded). Notes are tiny and stay unbounded.
+        self.max_cache_bytes = max_cache_bytes
+        self._cache_bytes = 0
+        self._cache_lock = threading.Lock()
+        self._audio_cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
         self._notes_cache: Dict[int, List[MidiNote]] = {}
+        # per-clip (onsets, offsets, pitches) arrays — the rasterizer hot
+        # path takes these with a scalar window offset, so per-window work
+        # involves no per-note Python objects
+        self._note_arrays_cache: Dict[int, Tuple[np.ndarray, ...]] = {}
         if preload:
             for i in range(len(self.pairs)):
                 self._audio(i)
@@ -129,13 +143,25 @@ class PairedAudioMidi:
         return self._windows
 
     def _audio(self, idx: int) -> np.ndarray:
-        if idx not in self._audio_cache:
-            wav_path, _ = self.pairs[idx]
-            x, sr = read_wav(wav_path, mono=True)
-            if sr != self.sampling_rate:
-                x = resample(x, sr, self.sampling_rate)
-            self._audio_cache[idx] = x.astype(np.float32)
-        return self._audio_cache[idx]
+        with self._cache_lock:
+            if idx in self._audio_cache:
+                self._audio_cache.move_to_end(idx)
+                return self._audio_cache[idx]
+        wav_path, _ = self.pairs[idx]
+        x, sr = read_wav(wav_path, mono=True)
+        if sr != self.sampling_rate:
+            x = resample(x, sr, self.sampling_rate)
+        x = x.astype(np.float32)
+        with self._cache_lock:
+            if idx not in self._audio_cache:
+                self._audio_cache[idx] = x
+                self._cache_bytes += x.nbytes
+                if self.max_cache_bytes is not None:
+                    while (self._cache_bytes > self.max_cache_bytes
+                           and len(self._audio_cache) > 1):
+                        _, old = self._audio_cache.popitem(last=False)
+                        self._cache_bytes -= old.nbytes
+        return x
 
     def _notes(self, idx: int) -> List[MidiNote]:
         if idx not in self._notes_cache:
@@ -146,6 +172,16 @@ class PairedAudioMidi:
                 notes = read_midi(str(label_path), extend_sustain=self.extend_sustain)
             self._notes_cache[idx] = notes
         return self._notes_cache[idx]
+
+    def _note_arrays(self, idx: int) -> Tuple[np.ndarray, ...]:
+        if idx not in self._note_arrays_cache:
+            notes = self._notes(idx)
+            self._note_arrays_cache[idx] = (
+                np.array([n.onset for n in notes], np.float64),
+                np.array([n.offset for n in notes], np.float64),
+                np.array([n.pitch for n in notes], np.int64),
+            )
+        return self._note_arrays_cache[idx]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         if self.overlap:
@@ -158,7 +194,7 @@ class PairedAudioMidi:
         """One sequence_length window of clip `clip_idx`. `start=None`
         picks it (random hop-aligned in train, 0 when deterministic)."""
         audio = self._audio(clip_idx)
-        notes = self._notes(clip_idx)
+        onsets, offsets, pitches = self._note_arrays(clip_idx)
         seq = self.sequence_length
         if seq is None:
             seq = max(len(audio) // self.hop_length, 1) * self.hop_length
@@ -176,12 +212,9 @@ class PairedAudioMidi:
 
         n_frames = seq // self.hop_length
         t0 = start / self.sampling_rate
-        shifted = [
-            MidiNote(n.onset - t0, n.offset - t0, n.pitch, n.velocity)
-            for n in notes
-        ]
-        frame, onset = rasterize_notes(
-            shifted, n_frames, self.hop_length, self.sampling_rate,
+        frame, onset = rasterize_arrays(
+            onsets - t0, offsets - t0, pitches,
+            n_frames, self.hop_length, self.sampling_rate,
             self.min_midi, self.max_midi,
         )
         item = {"frame": frame, "audio": audio_seg, "onset": onset}

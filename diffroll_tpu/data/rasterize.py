@@ -34,13 +34,32 @@ def rasterize_notes(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (frame_roll, onset_roll), both (n_frames, max-min+1) float32."""
     notes = list(notes)
+    return rasterize_arrays(
+        np.array([n.onset for n in notes], np.float64),
+        np.array([n.offset for n in notes], np.float64),
+        np.array([n.pitch for n in notes], np.int64),
+        n_frames, hop_length, sample_rate, min_midi, max_midi,
+    )
+
+
+def rasterize_arrays(
+    onsets: np.ndarray,
+    offsets: np.ndarray,
+    pitches: np.ndarray,
+    n_frames: int,
+    hop_length: int = 512,
+    sample_rate: int = 16000,
+    min_midi: int = 21,
+    max_midi: int = 108,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Array-in variant — the loader hot path: per-clip note arrays are
+    cached once and each window rasterizes with a time offset applied to
+    the arrays, with no per-note Python objects."""
     from .. import native
 
-    if notes and native.available():
+    if len(onsets) and native.available():
         out = native.rasterize(
-            np.array([n.onset for n in notes]),
-            np.array([n.offset for n in notes]),
-            np.array([n.pitch for n in notes]),
+            onsets, offsets, pitches,
             n_frames, hop_length, sample_rate, min_midi, max_midi,
         )
         if out is not None:
@@ -49,22 +68,26 @@ def rasterize_notes(
     n_pitches = max_midi - min_midi + 1
     frame = np.zeros((n_frames, n_pitches), np.float32)
     onset = np.zeros((n_frames, n_pitches), np.float32)
+    if len(onsets) == 0:
+        return frame, onset
     fps = sample_rate / hop_length
-    for n in notes:
-        if not (min_midi <= n.pitch <= max_midi):
-            continue
-        # half-UP rounding: Python's round() is half-to-even, which makes
-        # rasterization inconsistent under integer frame shifts (a window's
-        # roll would disagree with the matching slice of the full roll)
-        f0 = int(np.floor(n.onset * fps + 0.5))
-        f1 = int(np.floor(n.offset * fps + 0.5))
-        f1 = max(f1, f0 + 1)  # a note always occupies >= 1 frame
-        if f0 >= n_frames or f1 <= 0:
-            continue
-        p = n.pitch - min_midi
-        frame[max(f0, 0) : min(f1, n_frames), p] = 1.0
-        if 0 <= f0 < n_frames:
-            onset[f0, p] = 1.0
+    # half-UP rounding: Python's round() is half-to-even, which makes
+    # rasterization inconsistent under integer frame shifts (a window's
+    # roll would disagree with the matching slice of the full roll)
+    f0 = np.floor(np.asarray(onsets) * fps + 0.5).astype(np.int64)
+    f1 = np.floor(np.asarray(offsets) * fps + 0.5).astype(np.int64)
+    f1 = np.maximum(f1, f0 + 1)  # a note always occupies >= 1 frame
+    p = np.asarray(pitches, np.int64) - min_midi
+    keep = ((p >= 0) & (p < n_pitches) & (f0 < n_frames) & (f1 > 0))
+    f0k, f1k, pk = f0[keep], f1[keep], p[keep]
+    # range fill via a +1/-1 difference array and a cumulative sum — one
+    # O(n_frames x pitches) pass regardless of note count/length
+    diff = np.zeros((n_frames + 1, n_pitches), np.int32)
+    np.add.at(diff, (np.maximum(f0k, 0), pk), 1)
+    np.add.at(diff, (np.minimum(f1k, n_frames), pk), -1)
+    frame = (np.cumsum(diff[:-1], axis=0) > 0).astype(np.float32)
+    vis = (f0k >= 0) & (f0k < n_frames)
+    onset[f0k[vis], pk[vis]] = 1.0
     return frame, onset
 
 

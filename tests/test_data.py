@@ -259,3 +259,67 @@ def test_device_prefetch_preserves_batches(maps_tree):
     assert len(dev) == len(host)
     for h, d in zip(host, dev):
         np.testing.assert_array_equal(h, np.asarray(d["frame"]))
+
+
+def test_rasterize_arrays_matches_bruteforce_and_native():
+    """The vectorized numpy fallback, the native C++ scan, and a direct
+    per-note loop must agree — including negative-offset (shifted-window)
+    notes, clipped ranges, and overlapping same-pitch notes."""
+    from diffroll_tpu import native
+    from diffroll_tpu.data.rasterize import rasterize_arrays
+
+    rng = np.random.RandomState(3)
+    n_frames, hop, sr = 50, 512, 16000
+    onsets = rng.uniform(-1.0, 2.0, 200)
+    offsets = onsets + rng.uniform(0.01, 1.5, 200)
+    pitches = rng.randint(15, 115, 200)  # some out of the 21..108 range
+
+    def brute():
+        fps = sr / hop
+        frame = np.zeros((n_frames, 88), np.float32)
+        onset = np.zeros((n_frames, 88), np.float32)
+        for o, f, p in zip(onsets, offsets, pitches):
+            if not (21 <= p <= 108):
+                continue
+            f0 = int(np.floor(o * fps + 0.5))
+            f1 = max(int(np.floor(f * fps + 0.5)), f0 + 1)
+            if f0 >= n_frames or f1 <= 0:
+                continue
+            frame[max(f0, 0): min(f1, n_frames), p - 21] = 1.0
+            if 0 <= f0 < n_frames:
+                onset[f0, p - 21] = 1.0
+        return frame, onset
+
+    want_f, want_o = brute()
+    for use_native in ([True, False] if native.available() else [False]):
+        if use_native:
+            got_f, got_o = rasterize_arrays(
+                onsets, offsets, pitches, n_frames, hop, sr)
+        else:
+            native_fn = native.available
+            try:
+                native.available = lambda: False
+                got_f, got_o = rasterize_arrays(
+                    onsets, offsets, pitches, n_frames, hop, sr)
+            finally:
+                native.available = native_fn
+        np.testing.assert_array_equal(got_f, want_f)
+        np.testing.assert_array_equal(got_o, want_o)
+
+
+def test_audio_cache_lru_eviction(tmp_path):
+    """Bounded decoded-audio cache: stays under the byte budget, evicted
+    clips re-decode to identical windows."""
+    d = tmp_path / "MAPS" / "AkPnBcht" / "MUS"
+    d.mkdir(parents=True)
+    n = SR * 2
+    for i in range(6):
+        make_clip(d / f"c{i}", seconds=2.0, notes=[(60 + i, 0.2, 1.0)])
+    ds = MAPS(str(tmp_path), groups="train", sequence_length=n,
+              max_cache_bytes=2 * n * 4)
+    ref = [ds[i]["audio"].copy() for i in range(6)]
+    assert len(ds._audio_cache) <= 2
+    assert ds._cache_bytes <= 2 * n * 4
+    again = [ds[i]["audio"] for i in range(6)]
+    for a, b in zip(ref, again):
+        np.testing.assert_array_equal(a, b)
