@@ -82,9 +82,10 @@ def bench_train(extras):
 
     B, K = 16, 20
 
-    def step_time(dtype):
+    def step_time(dtype, fused_train=None):
         model = models.build("ClassifierFreeDiffRoll", dtype=dtype)
-        task = DiffusionTask(model, TaskConfig(timesteps=200))
+        task = DiffusionTask(model, TaskConfig(timesteps=200,
+                                               fused_train=fused_train))
         params = model.init(jax.random.key(0))
         tx = make_optimizer(5e-5)
         state = TrainState.create(params, tx)
@@ -122,6 +123,7 @@ def bench_train(extras):
             pass
         return dt, flops
 
+    # default path (per-layer flax stack through XLA autodiff)
     dt32, flops = step_time("float32")
     extras["train_step_ms_b16"] = round(dt32 * 1e3, 2)
     extras["train_clips_per_sec"] = round(B / dt32, 1)
@@ -130,6 +132,10 @@ def bench_train(extras):
             flops / (dt32 * BF16_PEAK_FLOPS), 3)
     dt16, _ = step_time("bfloat16")
     extras["train_step_bf16_ms_b16"] = round(dt16 * 1e3, 2)
+    # the opt-in custom-VJP fused stack (task.fused_train=true), tracked so
+    # regressions/improvements in the training kernels stay visible
+    dt_fused, _ = step_time("float32", fused_train=True)
+    extras["train_step_fused_ms_b16"] = round(dt_fused * 1e3, 2)
 
 
 def bench_host_pipeline(extras):

@@ -175,6 +175,10 @@ def _kernel(
     conditional: bool,
     dilations: tuple,
     static_shifts: bool,
+    xs_ref=None,                  # optional (1, B, T, C) bf16: layer input
+    a_ref=None,                   # optional (1, B, T, 2C) bf16: pre-gate acts
+                                  #   (saved for the training backward pass,
+                                  #    ops/gated_stack_train.py)
 ):
     i = pl.program_id(1)   # layer index; grid dim 0 tiles the batch
     bsz, t_len, c = x_buf.shape
@@ -190,6 +194,8 @@ def _kernel(
             ypad[:, t_len + pad:, :] = jnp.zeros((bsz, pad, c), ypad.dtype)
 
     x = x_buf[:]
+    if xs_ref is not None:
+        xs_ref[0] = x
     # FiLM step bias in f32; ypad is f32 in roll mode (tpu.dynamic_rotate is
     # 32-bit only) and bf16 in static-shift mode
     y = x.astype(jnp.float32) + tb_ref[0, 0][:, None, :]
@@ -262,6 +268,8 @@ def _kernel(
                 shifted = rolled[:, :t_len, :].astype(jnp.bfloat16)
             acc = acc + tap_dot(shifted, j)
 
+    if a_ref is not None:
+        a_ref[0] = acc.astype(a_ref.dtype)
     g = (jax.nn.sigmoid(acc[..., :c]) * jnp.tanh(acc[..., c:])).astype(x.dtype)
     out = jax.lax.dot_general(
         g, wo_ref[0],

@@ -65,6 +65,14 @@ class TaskConfig:
     # kernel per step (ops/gated_stack.py). None = auto (on whenever the
     # model family supports it; Pallas on TPU, fused XLA elsewhere).
     use_fused: Optional[bool] = None
+    # training via the custom-VJP fused stack (ops/gated_stack_grad.py —
+    # Pallas forward-with-saves + XLA backward). OPT-IN (default: flax
+    # path): in isolation the hybrid beats autodiff 12.2 vs 15.7 ms at
+    # B=16, but embedded in the full train step it measured SLOWER
+    # (24.2 vs 21.3 ms on v5e) — XLA's autodiff schedule overlaps the
+    # surrounding step better. Kept for small-batch regimes and as the
+    # base for future kernel work; revisit with profiler evidence.
+    fused_train: Optional[bool] = None
 
     def replace(self, **kw) -> "TaskConfig":
         return dataclasses.replace(self, **kw)
@@ -96,6 +104,38 @@ class DiffusionTask:
             inpainting_f=self.config.inpainting_f,
         )
 
+    def _forward_train(self, params, x_t, t, cond, uncond_mask):
+        """The training-loss forward. Routes through the custom-VJP fused
+        stack when `fused_train` resolves (auto: TPU + a model family the
+        fused op covers); otherwise the flax per-layer path. The fused
+        route applies the 'fixed' unconditional substitution (spec := -1
+        on dropped rows, reference model/diffwave.py:656-660, 689-693)
+        to the raw conditioner — identical to
+        DiffRollNet.cond_projections' handling."""
+        mc = self.model.config
+        from ..ops import supports_fused
+
+        on_tpu = jax.default_backend() == "tpu"
+        fused = bool(self.config.fused_train) and supports_fused(mc)
+        if not fused:
+            return self.model.apply(params, x_t, t, cond, uncond_mask)
+
+        c = cond
+        if c is not None:
+            if uncond_mask is not None:
+                c = jnp.where(uncond_mask[:, None, None], -1.0, c)
+            # the conditioner is data-derived (mel front-end has no
+            # parameters), so its cotangent is never consumed
+            c = jax.lax.stop_gradient(c)
+        from ..ops import fused_forward
+
+        dil = tuple(mc.dilation_base ** (i % mc.dilation_bound)
+                    for i in range(mc.residual_layers))
+        return fused_forward(
+            params, x_t, t, c, n_layers=mc.residual_layers, dilations=dil,
+            max_steps=mc.timesteps,
+            trainable="pallas_fwd" if on_tpu else "xla", need_dcond=False)
+
     def loss_fn(
         self,
         params: Any,
@@ -126,7 +166,7 @@ class DiffusionTask:
         if train and p > 0 and cond is not None:
             uncond_mask = spec_dropout_mask(d_key, bsz, p)
 
-        pred = self.model.apply(params, x_t, t, cond, uncond_mask)
+        pred = self._forward_train(params, x_t, t, cond, uncond_mask)
 
         losses: Dict[str, jnp.ndarray] = {}
         if cfg.training_mode == "epsilon":
@@ -151,7 +191,7 @@ class DiffusionTask:
             x_t2 = q_sample(roll2, t, self.schedule, noise)
             cond2 = self._conditioner(b2, roll2)
             all_uncond = jnp.ones((bsz,), bool)
-            pred2 = self.model.apply(params, x_t2, t, cond2, all_uncond)
+            pred2 = self._forward_train(params, x_t2, t, cond2, all_uncond)
             losses["unconditional_diffusion_loss"] = p_losses(
                 roll2, pred2, cfg.loss_type
             )
