@@ -1,0 +1,365 @@
+"""The whole reverse-diffusion process as ONE Pallas kernel.
+
+The scan-fused sampler (diffusion/loop.py) already eliminated host syncs,
+but it still streams every layer's weights HBM->VMEM once per step:
+~63 MB of bf16 weights x 200 steps = ~12.6 GB of HBM traffic for a single
+20.48 s clip, which dominates per-step latency at small batch. This kernel
+inverts the loop: the grid is (batch_tiles, n_steps), ALL weights (stack +
+head + conditioner projections) are VMEM-resident constant-index blocks
+fetched once, and each grid step runs the full denoiser + sampler update
+in place.
+
+Two observations make this tractable:
+
+  1. Every reference sampler step is LINEAR in (prediction, x, noise):
+        x <- a[i] * pred + b[i] * x + s[i] * noise_i
+     with per-step scalars precomputable from the schedule
+     (`sampler_tables`, covering the x0- and epsilon-parameterisations and
+     the t_prev=-1 final-step branches, reference task/diffusion.py:
+     804-1055). The tables ride in SMEM.
+  2. With the layer loop UNROLLED in the kernel body (the grid iterates
+     steps, not layers), each layer's dilation is a compile-time constant,
+     so the dilated taps are plain static slices of a zero-haloed buffer —
+     no dynamic rolls at all.
+
+Classifier-free guidance runs both branches as rows of one 2*tile batch
+(the conditioner is laid out per tile as [tile cond rows; tile uncond
+rows] outside) and mixes (1+w) c - w u in-kernel.
+
+Noise parity: `jax.random.split(key, n)` + one `normal(k, x.shape)` per
+step reproduces diffusion/loop.py's draws exactly, so this kernel is
+bit-comparable (up to matmul precision) to the scan path it replaces.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..diffusion.schedule import Schedule
+from .gated_stack import GatedStackWeights, _pad_cond
+
+_SQRT_HALF = 0.7071067811865476
+
+
+# --------------------------------------------------------------- the tables
+
+def sampler_tables(
+    schedule: Schedule,
+    sampler_type: str,
+    ts: np.ndarray,
+    ts_prev: np.ndarray,
+) -> np.ndarray:
+    """Per-step (a, b, s) for `x <- a*pred + b*x + s*noise`.
+
+    Covers all nine reference samplers (x0- and epsilon-parameterised,
+    stochastic and deterministic, incl. the reference's t==0 branches).
+    Returns (n, 3) float32.
+    """
+    sac = np.asarray(schedule.sqrt_alphas_cumprod, np.float64)
+    s1m = np.asarray(schedule.sqrt_one_minus_alphas_cumprod, np.float64)
+    src = np.asarray(schedule.sqrt_recip_alphas, np.float64)
+    betas = np.asarray(schedule.betas, np.float64)
+
+    t = np.asarray(ts, np.int64)
+    tp_raw = np.asarray(ts_prev, np.int64)
+    done = tp_raw < 0
+    tp = np.maximum(tp_raw, 0)
+
+    # generalized ancestral sigma (== sqrt(posterior_variance) for tp==t-1)
+    alpha_ratio = (sac[t] / sac[tp]) ** 2
+    sigma_ddpm = (s1m[tp] / s1m[t]) * np.sqrt(np.maximum(1.0 - alpha_ratio, 0.0))
+
+    base = sampler_type[5:] if sampler_type.startswith("cfdg_") else sampler_type
+    for prefix in ("generation_", "inpainting_"):
+        if base.startswith(prefix):
+            base = base[len(prefix):]
+
+    if base in ("ddpm_x0", "ddim_x0"):
+        sigma = sigma_ddpm if base == "ddpm_x0" else np.zeros_like(sigma_ddpm)
+        c_dir = np.sqrt(np.maximum(1.0 - sac[tp] ** 2 - sigma**2, 0.0)) / s1m[t]
+        a = sac[tp] - c_dir * sac[t]
+        b = c_dir
+        s = sigma
+        a_done, b_done = 1.0 / sac[0], 0.0
+    elif base in ("ddpm", "ddim", "ddim2ddpm"):
+        # epsilon parameterisation: x0 = (x - s1m[t] eps) / sac[t]
+        sigma = np.zeros_like(sigma_ddpm) if base == "ddim" else sigma_ddpm
+        if base == "ddim":
+            c_eps = s1m[tp]
+        else:
+            c_eps = np.sqrt(np.maximum(1.0 - sac[tp] ** 2 - sigma**2, 0.0))
+        b = sac[tp] / sac[t]
+        a = c_eps - b * s1m[t]
+        s = sigma
+        if base == "ddpm":
+            # reference t==0 branch: deterministic posterior mean
+            # (task/diffusion.py:846-852)
+            a_done = -src[t[-1]] * betas[t[-1]] / s1m[t[-1]]
+            b_done = src[t[-1]]
+        else:
+            # x0 recovery: (x - s1m eps)/sac at the final visited t
+            a_done = -s1m[t[-1]] / sac[t[-1]]
+            b_done = 1.0 / sac[t[-1]]
+    else:
+        raise KeyError(f"no linear tables for sampler {sampler_type!r}")
+
+    a = np.where(done, a_done, a)
+    b = np.where(done, b_done, b)
+    s = np.where(done, 0.0, s)
+    return np.stack([a, b, s], axis=1).astype(np.float32)
+
+
+class HeadWeights(NamedTuple):
+    """The non-stack weights of DiffRollNet (1x1 conv heads), f32."""
+
+    win: jnp.ndarray   # (88, C)  input_projection
+    bin: jnp.ndarray   # (C,)
+    wskip: jnp.ndarray  # (C, C)  skip_projection
+    bskip: jnp.ndarray  # (C,)
+    wout: jnp.ndarray  # (C, 88) output_projection (zero-init head)
+    bout: jnp.ndarray  # (88,)
+
+
+def head_weights(params) -> HeadWeights:
+    p = params["params"] if "params" in params else params
+    return HeadWeights(
+        win=p["input_projection"]["kernel"][0],
+        bin=p["input_projection"]["bias"],
+        wskip=p["skip_projection"]["kernel"][0],
+        bskip=p["skip_projection"]["bias"],
+        wout=p["output_projection"]["kernel"][0],
+        bout=p["output_projection"]["bias"],
+    )
+
+
+# --------------------------------------------------------------- the kernel
+
+def _make_kernel(n_layers, taps, dilations, pad, guided, w_guidance,
+                 tile, t_len, c, conditional):
+    """Kernel body. Block shapes (leading 1s are the grid block axes):
+    x_T (1,tile,T,88) f32; noise (1,1,tile,T,88) f32; tb (1,L,C) f32;
+    tab (1,3) SMEM f32; stack/head weights full-array resident;
+    cond (1, bc, T, M) bf16; out x (1,tile,T,88) f32 (the carry)."""
+    ctr = taps // 2
+    bc = 2 * tile if guided else tile
+    bf = jnp.bfloat16
+
+    def kernel(x_T_ref, noise_ref, tb_ref, tab_ref,
+               wd_ref, wc_ref, b_ref, wo_ref, bo_ref,
+               win_ref, bin_ref, wskip_ref, bskip_ref, wout_ref, bout_ref,
+               cond_ref,
+               x_ref, x_buf, ypad):
+        i = pl.program_id(1)  # step; dim 0 tiles the batch
+
+        @pl.when(i == 0)
+        def _init():
+            x_ref[0] = x_T_ref[0]
+            if pad:
+                ypad[:, :pad, :] = jnp.zeros((bc, pad, c), ypad.dtype)
+                ypad[:, t_len + pad:, :] = jnp.zeros((bc, pad, c), ypad.dtype)
+
+        x = x_ref[0]  # (tile, T, 88) f32
+
+        # head-in (f32 dots: tiny, keeps parity with the XLA head)
+        h = jax.nn.relu(
+            jax.lax.dot_general(
+                x, win_ref[:],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bin_ref[0][None, None, :]
+        )
+        if guided:
+            x_buf[:] = jnp.concatenate([h, h], axis=0).astype(bf)
+        else:
+            x_buf[:] = h.astype(bf)
+
+        skip = jnp.zeros((bc, t_len, c), jnp.float32)
+        for l in range(n_layers):
+            d = int(dilations[l])
+            y = x_buf[:].astype(jnp.float32) + tb_ref[0, l][None, None, :]
+            ypad[:, pad: t_len + pad, :] = y.astype(ypad.dtype)
+            acc = jnp.broadcast_to(b_ref[l, 0][None, None, :],
+                                   (bc, t_len, 2 * c)).astype(jnp.float32)
+            if conditional:
+                acc = acc + jax.lax.dot_general(
+                    cond_ref[0], wc_ref[l],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # cond block (1, bc, T, M) -> [0] is (bc, T, M)
+            for j in range(taps):
+                start = pad + (j - ctr) * d  # static: dilation is unrolled
+                acc = acc + jax.lax.dot_general(
+                    ypad[:, start: start + t_len, :].astype(bf), wd_ref[l, j],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            g = (jax.nn.sigmoid(acc[..., :c]) * jnp.tanh(acc[..., c:])
+                 ).astype(bf)
+            out = jax.lax.dot_general(
+                g, wo_ref[l],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bo_ref[l, 0][None, None, :]
+            x_buf[:] = ((x_buf[:].astype(jnp.float32) + out[..., :c])
+                        * _SQRT_HALF).astype(bf)
+            skip = skip + out[..., c:]
+
+        skip = skip * (1.0 / math.sqrt(n_layers))
+        hs = jax.nn.relu(
+            jax.lax.dot_general(
+                skip, wskip_ref[:],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bskip_ref[0][None, None, :]
+        )
+        pred = jax.lax.dot_general(
+            hs, wout_ref[:],
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bout_ref[0][None, None, :]
+
+        if guided:
+            pred = (1.0 + w_guidance) * pred[:tile] - w_guidance * pred[tile:]
+
+        # tables are a fully-resident (n, 3) SMEM block; scalar-indexed by
+        # the step id (a (1, 3) block fails Mosaic's divisibility rule)
+        a = tab_ref[i, 0]
+        b = tab_ref[i, 1]
+        s = tab_ref[i, 2]
+        x_ref[0] = a * pred + b * x + s * noise_ref[0, 0]
+
+    return kernel
+
+
+def _pick_tile(bsz: int, guided: bool) -> int:
+    """Largest batch tile whose activations fit beside the resident
+    weights (the (bc, T, 2C) f32 pre-gate intermediate is the driver)."""
+    cap = 2 if guided else 4
+    tile = min(bsz, cap)
+    while tile > 1 and bsz % tile:
+        tile -= 1
+    return tile
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dilations", "guided", "w_guidance", "interpret"))
+def fused_sample_pallas(
+    x_T: jnp.ndarray,                 # (B, T, 88) f32
+    noise: jnp.ndarray,               # (n, B, T, 88) f32
+    t_bias: jnp.ndarray,              # (n, L, C) f32 per-step FiLM biases
+    tables: jnp.ndarray,              # (n, 3) f32 from sampler_tables
+    w: GatedStackWeights,
+    head: HeadWeights,
+    cond: Optional[jnp.ndarray],      # (B, T, M) raw conditioner, or None
+    dilations: Tuple[int, ...],
+    guided: bool,
+    w_guidance: float = 0.0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the whole reverse process; returns x_0 (B, T, 88) f32.
+
+    `cond` is the CONDITIONAL branch's conditioner; the guided layout
+    ([tile cond rows; tile of -1 rows] per batch tile) is built here.
+    """
+    n_steps = noise.shape[0]
+    n_layers, taps, c, two_c = w.wd.shape
+    bsz, t_len, n_out = x_T.shape
+    pad = (taps // 2) * max(dilations)
+    conditional = cond is not None and w.wc is not None
+    bf = jnp.bfloat16
+
+    tile = _pick_tile(bsz, guided)
+    n_tiles = bsz // tile
+    bc = 2 * tile if guided else tile
+
+    if conditional:
+        m = w.wc.shape[1]
+        cond_p = _pad_cond(cond, m).astype(bf)
+        cond_t = cond_p.reshape(n_tiles, tile, t_len, m)
+        if guided:
+            uncond = jnp.full_like(cond_t, -1.0)
+            # zero the padding lanes of the uncond rows too (pad stays 0)
+            if m > cond.shape[-1]:
+                uncond = uncond.at[..., cond.shape[-1]:].set(0.0)
+            cond_t = jnp.concatenate([cond_t, uncond], axis=1)  # (nt, bc, T, M)
+    else:
+        m = 128
+        cond_t = jnp.zeros((n_tiles, bc, 8, m), bf)  # dummy, never read
+
+    const = lambda rank: (lambda bi, i: (0,) * rank)  # resident: one fetch
+
+    operands = [
+        x_T.astype(jnp.float32).reshape(n_tiles, tile, t_len, n_out),
+        noise.astype(jnp.float32).reshape(n_steps, n_tiles, tile, t_len, n_out),
+        t_bias.astype(jnp.float32),
+        tables.astype(jnp.float32),
+        w.wd.astype(bf),
+        (w.wc.astype(bf) if conditional
+         else jnp.zeros((n_layers, m, two_c), bf)),
+        ((w.b + w.bc if conditional else w.b)
+         .astype(jnp.float32)[:, None, :]),
+        w.wo.astype(bf),
+        w.bo.astype(jnp.float32)[:, None, :],
+        head.win.astype(jnp.float32),
+        head.bin.astype(jnp.float32)[None, :],
+        head.wskip.astype(jnp.float32),
+        head.bskip.astype(jnp.float32)[None, :],
+        head.wout.astype(jnp.float32),
+        head.bout.astype(jnp.float32)[None, :],
+        cond_t,
+    ]
+    in_specs = [
+        pl.BlockSpec((1, tile, t_len, n_out), lambda bi, i: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, tile, t_len, n_out),
+                     lambda bi, i: (i, bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_layers, c), lambda bi, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(operands[3].shape, const(2), memory_space=pltpu.SMEM),
+        pl.BlockSpec(operands[4].shape, const(4), memory_space=pltpu.VMEM),
+        pl.BlockSpec(operands[5].shape, const(3), memory_space=pltpu.VMEM),
+        pl.BlockSpec(operands[6].shape, const(3), memory_space=pltpu.VMEM),
+        pl.BlockSpec(operands[7].shape, const(3), memory_space=pltpu.VMEM),
+        pl.BlockSpec(operands[8].shape, const(3), memory_space=pltpu.VMEM),
+        pl.BlockSpec(operands[9].shape, const(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec(operands[10].shape, const(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec(operands[11].shape, const(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec(operands[12].shape, const(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec(operands[13].shape, const(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec(operands[14].shape, const(2), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + cond_t.shape[1:], lambda bi, i: (bi, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    kernel = _make_kernel(n_layers, taps, tuple(dilations), pad, guided,
+                          float(w_guidance), tile, t_len, c, conditional)
+
+    x0 = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_steps),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, t_len, n_out),
+                               lambda bi, i: (bi, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile, t_len, n_out),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bc, t_len, c), bf),
+            pltpu.VMEM((bc, t_len + 2 * pad, c), bf),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return x0.reshape(bsz, t_len, n_out)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..diffusion.forward import extract_x0, q_sample
-from ..diffusion.loop import sample_loop
+from ..diffusion.loop import sample_loop, timestep_subsequence
 from ..diffusion.samplers import SAMPLER_TABLE, cfg_mix
 from ..diffusion.schedule import Schedule, linear_schedule
 from ..models import spec_dropout_mask
@@ -65,6 +65,11 @@ class TaskConfig:
     # kernel per step (ops/gated_stack.py). None = auto (on whenever the
     # model family supports it; Pallas on TPU, fused XLA elsewhere).
     use_fused: Optional[bool] = None
+    # run the ENTIRE reverse process as one Pallas kernel with all weights
+    # VMEM-resident (ops/sampler_kernel.py) — eliminates the per-step
+    # weight re-streaming of the scan path (~63 MB x steps). None = auto
+    # (TPU + supported model family + no trajectory requested).
+    use_megakernel: Optional[bool] = None
     # training via the custom-VJP fused stack (ops/gated_stack_grad.py —
     # Pallas forward-with-saves + XLA backward). OPT-IN (default: flax
     # path): in isolation the hybrid beats autodiff 12.2 vs 15.7 ms at
@@ -361,10 +366,67 @@ class DiffusionTask:
         body — 1 mel evaluation per clip instead of the reference's 400.
         """
         cond = self.build_conditioner(x_T, waveform, roll_cond)
+        if record_every is None and self._megakernel_applies():
+            return self._sample_megakernel(params, x_T, key, cond), None
         step = self.make_step_fn(params, cond)
         return sample_loop(
             step, x_T, self.config.timesteps, key,
             record_every=record_every, steps=self.config.sampling_steps,
+        )
+
+    def _megakernel_applies(self) -> bool:
+        from ..ops import supports_fused
+
+        cfg = self.config
+        if cfg.use_megakernel is not None:
+            return bool(cfg.use_megakernel) and supports_fused(self.model.config)
+        return (jax.default_backend() == "tpu"
+                and supports_fused(self.model.config))
+
+    def _sample_megakernel(self, params, x_T, key, cond):
+        """The whole reverse process in ONE Pallas kernel, weights resident
+        in VMEM (ops/sampler_kernel.py). Matches the scan path's math AND
+        its noise draws (same key split + per-step normal)."""
+        import numpy as np
+
+        from ..ops.fused_forward import _embed
+        from ..ops.sampler_kernel import (
+            fused_sample_pallas,
+            head_weights,
+            sampler_tables,
+        )
+        from ..ops import stack_weights
+
+        cfg = self.config
+        mc = self.model.config
+        _, _, guided, _ = SAMPLER_TABLE[cfg.sampling_type]
+        generation = cfg.sampling_type.startswith("generation")
+
+        ts_np = timestep_subsequence(cfg.timesteps, cfg.sampling_steps)
+        tsp_np = np.concatenate([ts_np[1:], [-1]]).astype(np.int32)
+        tables = jnp.asarray(
+            sampler_tables(self.schedule, cfg.sampling_type, ts_np, tsp_np))
+        keys = jax.random.split(key, len(ts_np))
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, x_T.shape, x_T.dtype))(keys)
+
+        w = stack_weights(params, mc.residual_layers)
+        head = head_weights(params)
+        p = params["params"] if "params" in params else params
+        t_emb = _embed(jnp.asarray(ts_np), p["diffusion_embedding"],
+                       mc.timesteps)                       # (n, E)
+        t_bias = (jnp.einsum("ne,lec->nlc", t_emb, w.wt)
+                  + w.bt[None, :, :])                      # (n, L, C)
+
+        if cond is not None and generation:
+            cond = jnp.full_like(cond, -1.0)  # reference model/diffwave.py:656
+        dil = tuple(mc.dilation_base ** (i % mc.dilation_bound)
+                    for i in range(mc.residual_layers))
+        return fused_sample_pallas(
+            x_T, noise, t_bias, tables, w, head, cond, dil,
+            guided=bool(guided and cond is not None),
+            w_guidance=float(cfg.w),
+            interpret=jax.default_backend() != "tpu",
         )
 
     def sample_jit(self, donate: bool = True):
