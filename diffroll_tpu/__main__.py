@@ -24,7 +24,7 @@ def _dispatch(argv):
             jax.config.update("jax_platforms", tok.split("=", 1)[1])
             argv.remove(tok)
 
-    from .cli import infer, sample, sweep, test, train, transcribe
+    from .cli import infer, sample, serve, sweep, test, train, transcribe
 
     commands = {
         "train": train.main,
@@ -33,6 +33,7 @@ def _dispatch(argv):
         "infer": infer.main,
         "transcribe": transcribe.main,
         "sweep": sweep.main,
+        "serve": serve.main,
     }
     if not argv or argv[0] in ("-h", "--help") or argv[0] not in commands:
         print(__doc__)

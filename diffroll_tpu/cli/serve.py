@@ -1,0 +1,52 @@
+"""Serving entry: a persistent transcription HTTP service.
+
+    python -m diffroll_tpu serve pretrained_path=<ckpt dir> \
+        serve.port=8077 serve.max_batch=8 task.sampling_steps=50
+
+POST WAV bytes to /transcribe (-> JSON note events; ?midi=1 for a MIDI
+file), GET /healthz for liveness. Windows from concurrent requests are
+micro-batched into one compiled sampler program (diffroll_tpu/serve/).
+No reference counterpart — the reference ships research scripts only.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import List, Optional
+
+from ..config import from_argv
+from . import _common
+
+
+def main(argv: Optional[List[str]] = None):
+    cfg, _, overrides = from_argv(sys.argv[1:] if argv is None else argv,
+                                  "sampling")
+    cfg, model, task, state = _common.load_pretrained(cfg, overrides=overrides)
+    mesh = _common.setup_mesh(cfg)
+
+    from ..serve import TranscriptionService, serve_forever
+
+    sv = cfg.serve
+    service = TranscriptionService(
+        task, state.params,
+        max_batch=sv.max_batch, max_wait_ms=sv.max_wait_ms,
+        overlap_frames=sv.overlap_frames,
+        frame_threshold=_common.task_threshold(cfg),
+        seed=cfg.trainer.seed, mesh=mesh,
+    )
+    print("compiling sampler program...", file=sys.stderr)
+    service.warmup()
+    info = {
+        "model": cfg.model_name,
+        "sampler": cfg.task.sampling_type,
+        "steps": cfg.task.sampling_steps or cfg.task.timesteps,
+        "max_batch": service.max_batch,
+    }
+    print(json.dumps({"serving": f"http://{sv.host}:{sv.port}", **info}),
+          file=sys.stderr, flush=True)
+    serve_forever(service, sv.host, sv.port, info=info)
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,21 @@ class TrainerConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    """Serving-entry knobs (`python -m diffroll_tpu serve`; no reference
+    counterpart — see diffroll_tpu/serve/)."""
+
+    host: str = "127.0.0.1"
+    port: int = 8077
+    max_batch: int = 8            # windows per compiled sampler batch
+    max_wait_ms: float = 25.0     # micro-batching window after first job
+    overlap_frames: int = 32      # window overlap for stitching
+
+    def replace(self, **kw) -> "ServeConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
 class ExperimentConfig:
     """Root config: everything a CLI entry needs."""
 
@@ -115,6 +130,7 @@ class ExperimentConfig:
     # task/diffusion.py:413-415). "mp3" encodes through an ffmpeg/lame
     # binary when one exists and falls back to wav otherwise.
     audio_format: str = "wav"
+    serve: ServeConfig = ServeConfig()
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

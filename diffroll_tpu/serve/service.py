@@ -1,0 +1,259 @@
+"""The transcription service: model-resident worker + micro-batching
+dispatcher + HTTP front (see package docstring for the design)."""
+
+from __future__ import annotations
+
+import json
+import math
+import queue
+import tempfile
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class _WindowJob:
+    """One fixed-size window awaiting the batched sampler."""
+
+    wav: np.ndarray                  # (seq_len,) f32
+    request: "_Request"
+    index: int                       # position within the request
+
+
+@dataclass
+class _Request:
+    n_windows: int
+    total_frames: int
+    overlap_frames: int
+    rolls: List[Optional[np.ndarray]] = field(default_factory=list)
+    done: threading.Event = field(default_factory=threading.Event)
+    error: Optional[BaseException] = None
+
+    def deliver(self, index: int, roll: np.ndarray):
+        self.rolls[index] = roll
+        if all(r is not None for r in self.rolls):
+            self.done.set()
+
+
+class TranscriptionService:
+    """Window-level micro-batching around one compiled sampler program."""
+
+    def __init__(self, task, params, *, max_batch: int = 8,
+                 max_wait_ms: float = 25.0, overlap_frames: int = 32,
+                 frame_threshold: float = 0.5, seed: int = 0, mesh=None):
+        self.task = task
+        self.params = params
+        self.mesh = mesh
+        mc = task.model.config
+        self.frames = mc.frames
+        self.hop = mc.mel.hop_length
+        self.sample_rate = mc.mel.sample_rate
+        self.seq_len = self.frames * self.hop
+        self.pitches = mc.pitches
+        if mesh is not None:
+            data_axis = mesh.shape["data"]
+            max_batch = max(max_batch // data_axis, 1) * data_axis
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self.overlap_frames = overlap_frames
+        self.frame_threshold = frame_threshold
+        self._queue: "queue.Queue[_WindowJob]" = queue.Queue()
+        self._key = jax.random.key(seed)
+        self._key_lock = threading.Lock()
+        self._run = jax.jit(
+            lambda p, x_T, k, wav: task.sample(p, x_T, k, waveform=wav)[0]
+        )
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True)
+        self._worker.start()
+        self.stats = {"requests": 0, "windows": 0, "batches": 0,
+                      "audio_seconds": 0.0}
+
+    # ------------------------------------------------------------- warmup
+
+    def warmup(self):
+        """Compile the sampler program before taking traffic."""
+        wav = np.zeros(self.seq_len, np.float32)
+        self.transcribe(wav)
+
+    # -------------------------------------------------------------- public
+
+    def transcribe(self, audio: np.ndarray,
+                   sample_rate: Optional[int] = None,
+                   timeout: Optional[float] = 300.0) -> np.ndarray:
+        """Waveform of any length -> (n_frames, 88) roll. Thread-safe;
+        concurrent calls share sampler batches."""
+        from ..tasks.transcribe import split_windows
+
+        audio = np.asarray(audio, np.float32)
+        if sample_rate is not None and sample_rate != self.sample_rate:
+            from .. import native
+
+            audio = native.resample(audio, sample_rate, self.sample_rate)
+        total_frames = max(1, math.ceil(len(audio) / self.hop))
+        windows = split_windows(audio, self.seq_len, self.hop,
+                                self.overlap_frames)
+        req = _Request(n_windows=len(windows), total_frames=total_frames,
+                       overlap_frames=self.overlap_frames,
+                       rolls=[None] * len(windows))
+        for i, wav in enumerate(windows):
+            self._queue.put(_WindowJob(wav=wav, request=req, index=i))
+        if not req.done.wait(timeout):
+            raise TimeoutError("transcription timed out")
+        if req.error is not None:
+            raise req.error
+        from ..tasks.transcribe import stitch_rolls
+
+        self.stats["requests"] += 1
+        self.stats["audio_seconds"] += len(audio) / self.sample_rate
+        return stitch_rolls(np.stack(req.rolls), self.overlap_frames,
+                            total_frames)
+
+    def notes(self, roll: np.ndarray, threshold: Optional[float] = None):
+        """Binarized roll -> [(pitch, onset_s, offset_s)] note events."""
+        from ..eval.notes import extract_notes
+
+        thr = self.frame_threshold if threshold is None else threshold
+        pitches, intervals = extract_notes(roll, roll, thr, thr)
+        scale = self.hop / self.sample_rate
+        return [
+            {"pitch": int(p) + 21, "onset": round(float(i0) * scale, 4),
+             "offset": round(float(i1) * scale, 4)}
+            for p, (i0, i1) in zip(pitches, intervals)
+        ]
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # ---------------------------------------------------------- dispatcher
+
+    def _dispatch_loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            jobs = [first]
+            deadline = time.monotonic() + self.max_wait_s
+            while len(jobs) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    jobs.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                self._run_batch(jobs)
+            except BaseException as e:  # surface to every waiting request
+                for job in jobs:
+                    job.request.error = e
+                    job.request.done.set()
+
+    def _run_batch(self, jobs: List[_WindowJob]):
+        n = len(jobs)
+        wav = np.zeros((self.max_batch, self.seq_len), np.float32)
+        for i, job in enumerate(jobs):
+            wav[i] = job.wav
+        with self._key_lock:
+            self._key, nk, sk = jax.random.split(self._key, 3)
+        x_T = jax.random.normal(nk, (self.max_batch, self.frames,
+                                     self.pitches))
+        wav_j = jnp.asarray(wav)
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            x_T = jax.device_put(x_T, batch_sharding(self.mesh))
+            wav_j = jax.device_put(wav_j, batch_sharding(self.mesh))
+        rolls = np.asarray(self._run(self.params, x_T, sk, wav_j))
+        self.stats["windows"] += n
+        self.stats["batches"] += 1
+        for i, job in enumerate(jobs):
+            job.request.deliver(job.index, rolls[i])
+
+
+# ------------------------------------------------------------------- HTTP
+
+def _make_handler(service: TranscriptionService, info: dict):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code, body: bytes, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                payload = {"status": "ok", "stats": service.stats, **info}
+                self._send(200, json.dumps(payload).encode())
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/transcribe":
+                self._send(404, b'{"error": "not found"}')
+                return
+            q = parse_qs(url.query)
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                from ..io.wav import read_wav
+
+                with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
+                    tmp.write(body)
+                    tmp.flush()
+                    audio, sr = read_wav(tmp.name, mono=True)
+                t0 = time.monotonic()
+                roll = service.transcribe(audio, sample_rate=sr)
+                thr = float(q.get("threshold", [service.frame_threshold])[0])
+                notes = service.notes(roll, thr)
+                if q.get("midi", ["0"])[0] in ("1", "true"):
+                    from ..io.midi import write_midi
+
+                    with tempfile.NamedTemporaryFile(suffix=".mid") as tmp:
+                        write_midi(tmp.name,
+                                   [n["pitch"] for n in notes],
+                                   [(n["onset"], n["offset"]) for n in notes])
+                        tmp.seek(0)
+                        self._send(200, tmp.read(), ctype="audio/midi")
+                    return
+                payload = {
+                    "frames": int(roll.shape[0]),
+                    "audio_seconds": round(len(audio) / sr, 3),
+                    "latency_s": round(time.monotonic() - t0, 4),
+                    "notes": notes,
+                }
+                self._send(200, json.dumps(payload).encode())
+            except Exception as e:  # one bad request must not kill the server
+                self._send(400, json.dumps({"error": str(e)}).encode())
+
+    return Handler
+
+
+def serve_forever(service: TranscriptionService, host: str = "127.0.0.1",
+                  port: int = 8077, info: Optional[dict] = None,
+                  ready: Optional[threading.Event] = None):
+    """Blocking HTTP loop. Returns the server if `ready` is given (the
+    caller owns shutdown — used by tests)."""
+    server = ThreadingHTTPServer((host, port),
+                                 _make_handler(service, info or {}))
+    if ready is not None:
+        ready.server = server  # type: ignore[attr-defined]
+        ready.set()
+    server.serve_forever()

@@ -1,0 +1,119 @@
+"""Serving tier tests: micro-batching service semantics and the HTTP
+front end, on a tiny model (untrained nets output the empty-roll prior —
+the service plumbing, batching, stitching and decoding are what's under
+test)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from diffroll_tpu import models
+from diffroll_tpu.io.wav import write_wav
+from diffroll_tpu.serve import TranscriptionService, serve_forever
+from diffroll_tpu.serve.service import _make_handler
+from diffroll_tpu.tasks import DiffusionTask, TaskConfig
+
+FRAMES, HOP, SR = 32, 512, 16000
+SEQ = FRAMES * HOP
+
+
+@pytest.fixture(scope="module")
+def service():
+    model = models.build("ClassifierFreeDiffRoll", residual_channels=16,
+                         residual_layers=2, frames=FRAMES, timesteps=6)
+    params = model.init(jax.random.key(0))
+    task = DiffusionTask(model, TaskConfig(timesteps=6, w=0.5))
+    svc = TranscriptionService(task, params, max_batch=4, max_wait_ms=30,
+                               overlap_frames=4)
+    svc.warmup()
+    yield svc
+    svc.close()
+
+
+def test_transcribe_shapes_and_stitching(service):
+    # 2.5 windows of audio -> stitched roll covers ceil(len/hop) frames
+    n = int(SEQ * 2.5)
+    roll = service.transcribe(np.zeros(n, np.float32))
+    assert roll.shape == (-(-n // HOP), 88)
+    assert np.isfinite(roll).all()
+
+
+def test_transcribe_resamples_other_rates(service):
+    n8k = SEQ // 2  # 8 kHz audio half as many samples for same duration
+    roll = service.transcribe(np.zeros(n8k, np.float32), sample_rate=8000)
+    assert roll.shape[0] == FRAMES
+
+
+def test_concurrent_requests_share_batches(service):
+    start_batches = service.stats["batches"]
+    results = {}
+
+    def run(name, n_windows):
+        results[name] = service.transcribe(
+            np.zeros(SEQ * n_windows, np.float32))
+
+    threads = [threading.Thread(target=run, args=(f"r{i}", 2))
+               for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r.shape[1] == 88 for r in results.values())
+    # 3 requests x >=2 windows = >=6 window jobs; with max_batch=4 and a
+    # 30 ms gather window they must pack into fewer batches than jobs
+    batches = service.stats["batches"] - start_batches
+    assert batches < 6, batches
+
+
+def test_http_endpoints(service, tmp_path):
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve_forever,
+        args=(service, "127.0.0.1", 0),
+        kwargs={"info": {"model": "tiny"}, "ready": ready},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(10)
+    server = ready.server  # type: ignore[attr-defined]
+    port = server.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["model"] == "tiny"
+
+        wav_path = tmp_path / "req.wav"
+        write_wav(wav_path, np.zeros(SEQ + HOP, np.float32), SR)
+        req = urllib.request.Request(
+            f"{base}/transcribe", data=wav_path.read_bytes(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            payload = json.loads(r.read())
+        assert payload["frames"] == FRAMES + 1
+        assert isinstance(payload["notes"], list)
+
+        # MIDI variant returns a standard MIDI header
+        req = urllib.request.Request(
+            f"{base}/transcribe?midi=1", data=wav_path.read_bytes(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            midi = r.read()
+        assert midi[:4] == b"MThd"
+
+        # malformed body -> 400, server stays alive
+        req = urllib.request.Request(
+            f"{base}/transcribe", data=b"not a wav", method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+    finally:
+        server.shutdown()
