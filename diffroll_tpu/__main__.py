@@ -24,10 +24,11 @@ def _dispatch(argv):
             jax.config.update("jax_platforms", tok.split("=", 1)[1])
             argv.remove(tok)
 
-    from .cli import infer, sample, serve, sweep, test, train, transcribe
+    from .cli import distill, infer, sample, serve, sweep, test, train, transcribe
 
     commands = {
         "train": train.main,
+        "distill": distill.main,
         "test": test.main,
         "sample": sample.main,
         "infer": infer.main,

@@ -105,6 +105,39 @@ class ServeConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DistillConfig:
+    """Progressive-distillation knobs (`python -m diffroll_tpu distill`;
+    no reference counterpart — the reference walks all 200 steps,
+    task/diffusion.py:779). Semantics in train/distill.py."""
+
+    start_steps: int = 65        # first student's step count (teacher walks
+                                 # the 2n-1 = 129-point strided grid)
+    stages: int = 4              # halvings: 65 -> 33 -> 17 -> 9 -> 5
+    steps_per_stage: int = 2000  # optimizer steps per stage
+    lr: float = 1e-4
+    w: float = 0.5               # guidance folded into stage 1 (reference
+                                 # best w, visualization_master.ipynb cell 6)
+    fold_guidance: bool = True
+    snr_clip: float = 1.0        # SNR loss-weight floor
+    snr_cap: float = 5.0         # SNR loss-weight ceiling (min-SNR-gamma);
+                                 # uncapped SNR(0)~1e4 measured unstable
+
+    def replace(self, **kw) -> "DistillConfig":
+        return dataclasses.replace(self, **kw)
+
+    def stage_steps(self):
+        """Step counts per stage, halving from start_steps: n -> (n+1)//2.
+        start_steps = 2^k+1 keeps every grid exactly nested."""
+        out, n = [], self.start_steps
+        for _ in range(self.stages):
+            out.append(n)
+            n = (n + 1) // 2
+            if n < 2:
+                break
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
 class ExperimentConfig:
     """Root config: everything a CLI entry needs."""
 
@@ -131,6 +164,7 @@ class ExperimentConfig:
     # binary when one exists and falls back to wav otherwise.
     audio_format: str = "wav"
     serve: ServeConfig = ServeConfig()
+    distill: DistillConfig = DistillConfig()
 
     def replace(self, **kw) -> "ExperimentConfig":
         return dataclasses.replace(self, **kw)

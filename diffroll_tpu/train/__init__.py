@@ -1,6 +1,7 @@
 """Training runtime: state, sharded steps, checkpointing."""
 
 from .checkpoint import Checkpointer
+from .distill import DistillConfig, distill_stage, progressive_distill
 from .loop import fit
 from .state import TrainState, make_optimizer
 from .step import make_eval_step, make_train_step
@@ -12,4 +13,7 @@ __all__ = [
     "make_eval_step",
     "Checkpointer",
     "fit",
+    "DistillConfig",
+    "distill_stage",
+    "progressive_distill",
 ]

@@ -176,6 +176,32 @@ def test_cli_generation_needs_no_audio(maps_tree, tmp_path):
     assert len(sorted(run_dir.glob("*.npz"))) >= 2
 
 
+def test_cli_distill_then_eval(maps_tree, tmp_path):
+    """Progressive distillation compresses a trained checkpoint and the
+    distilled stage evaluates through the standard test entry."""
+    from diffroll_tpu.cli import distill as distill_cli
+    from diffroll_tpu.cli import test as test_cli
+    from diffroll_tpu.cli import train as train_cli
+
+    out = tmp_path / "out"
+    train_cli.main(["spec_roll", *_tiny_args(maps_tree, out)])
+    ckpt = sorted(out.rglob("checkpoints"))[0]
+
+    distill_cli.main([
+        f"pretrained_path={ckpt}", "distill.start_steps=2",
+        "distill.stages=1", "distill.steps_per_stage=3", "distill.lr=1e-4",
+        *_tiny_args(maps_tree, out),
+    ])
+    stage_ckpts = sorted(out.rglob("distilled_2steps/checkpoints"))
+    assert stage_ckpts, "distill produced no stage checkpoint"
+    m = test_cli.main([
+        f"pretrained_path={stage_ckpts[0]}", "task.sampling_type=ddim_x0",
+        "task.sampling_steps=2", "task.w=0",
+        *_tiny_args(maps_tree, out),
+    ])
+    assert 0.0 <= m["frame_f1"] <= 1.0
+
+
 def test_cli_baseline_task(maps_tree, tmp_path):
     """The discriminative baseline recipe (reference task/baseline.py)
     trains and evaluates through the same entries."""
