@@ -31,7 +31,7 @@ def main(argv: Optional[List[str]] = None):
     service = TranscriptionService(
         task, state.params,
         max_batch=sv.max_batch, max_wait_ms=sv.max_wait_ms,
-        overlap_frames=sv.overlap_frames,
+        overlap_frames=sv.overlap_frames, max_body_mb=sv.max_body_mb,
         frame_threshold=_common.task_threshold(cfg),
         seed=cfg.trainer.seed, mesh=mesh,
     )

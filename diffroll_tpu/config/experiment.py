@@ -99,6 +99,7 @@ class ServeConfig:
     max_batch: int = 8            # windows per compiled sampler batch
     max_wait_ms: float = 25.0     # micro-batching window after first job
     overlap_frames: int = 32      # window overlap for stitching
+    max_body_mb: float = 64.0     # request-body cap (HTTP 413 above)
 
     def replace(self, **kw) -> "ServeConfig":
         return dataclasses.replace(self, **kw)
@@ -112,7 +113,7 @@ class DistillConfig:
 
     start_steps: int = 65        # first student's step count (teacher walks
                                  # the 2n-1 = 129-point strided grid)
-    stages: int = 4              # halvings: 65 -> 33 -> 17 -> 9 -> 5
+    stages: int = 5              # halvings: 65 -> 33 -> 17 -> 9 -> 5
     steps_per_stage: int = 2000  # optimizer steps per stage
     lr: float = 1e-4
     w: float = 0.5               # guidance folded into stage 1 (reference

@@ -63,6 +63,14 @@ class DiffRollConfig:
     def replace(self, **kw) -> "DiffRollConfig":
         return dataclasses.replace(self, **kw)
 
+    def dilations(self) -> Tuple[int, ...]:
+        """Per-layer dilation schedule base^(i % bound) (reference
+        model/diffwave.py:623-626) — the single source for every fused-op
+        and halo-exchange consumer; nn/denoiser.py applies the same rule
+        per layer."""
+        return tuple(self.dilation_base ** (i % self.dilation_bound)
+                     for i in range(self.residual_layers))
+
 
 class DiffRollModel:
     """Stateless functional model. All methods take explicit params/keys."""

@@ -143,7 +143,7 @@ def head_weights(params) -> HeadWeights:
 # --------------------------------------------------------------- the kernel
 
 def _make_kernel(n_layers, taps, dilations, pad, guided, w_guidance,
-                 tile, t_len, c, conditional):
+                 tile, t_len, c, conditional, stochastic):
     """Kernel body. Block shapes (leading 1s are the grid block axes):
     x_T (1,tile,T,88) f32; noise (1,1,tile,T,88) f32; tb (1,L,C) f32;
     tab (1,3) SMEM f32; stack/head weights full-array resident;
@@ -233,8 +233,10 @@ def _make_kernel(n_layers, taps, dilations, pad, guided, w_guidance,
         # the step id (a (1, 3) block fails Mosaic's divisibility rule)
         a = tab_ref[i, 0]
         b = tab_ref[i, 1]
-        s = tab_ref[i, 2]
-        x_ref[0] = a * pred + b * x + s * noise_ref[0, 0]
+        upd = a * pred + b * x
+        if stochastic:  # deterministic runs carry a dummy (1,...) noise op
+            upd = upd + tab_ref[i, 2] * noise_ref[0, 0]
+        x_ref[0] = upd
 
     return kernel
 
@@ -251,10 +253,12 @@ def _pick_tile(bsz: int, guided: bool) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dilations", "guided", "w_guidance", "interpret"))
+    static_argnames=("dilations", "guided", "w_guidance", "stochastic",
+                     "interpret"))
 def fused_sample_pallas(
     x_T: jnp.ndarray,                 # (B, T, 88) f32
-    noise: jnp.ndarray,               # (n, B, T, 88) f32
+    noise: jnp.ndarray,               # (n, B, T, 88) f32; (1, B, T, 88)
+                                      # dummy when stochastic=False
     t_bias: jnp.ndarray,              # (n, L, C) f32 per-step FiLM biases
     tables: jnp.ndarray,              # (n, 3) f32 from sampler_tables
     w: GatedStackWeights,
@@ -263,6 +267,7 @@ def fused_sample_pallas(
     dilations: Tuple[int, ...],
     guided: bool,
     w_guidance: float = 0.0,
+    stochastic: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the whole reverse process; returns x_0 (B, T, 88) f32.
@@ -270,7 +275,7 @@ def fused_sample_pallas(
     `cond` is the CONDITIONAL branch's conditioner; the guided layout
     ([tile cond rows; tile of -1 rows] per batch tile) is built here.
     """
-    n_steps = noise.shape[0]
+    n_steps = tables.shape[0]
     n_layers, taps, c, two_c = w.wd.shape
     bsz, t_len, n_out = x_T.shape
     pad = (taps // 2) * max(dilations)
@@ -299,7 +304,8 @@ def fused_sample_pallas(
 
     operands = [
         x_T.astype(jnp.float32).reshape(n_tiles, tile, t_len, n_out),
-        noise.astype(jnp.float32).reshape(n_steps, n_tiles, tile, t_len, n_out),
+        noise.astype(jnp.float32).reshape(noise.shape[0], n_tiles, tile,
+                                          t_len, n_out),
         t_bias.astype(jnp.float32),
         tables.astype(jnp.float32),
         w.wd.astype(bf),
@@ -321,7 +327,8 @@ def fused_sample_pallas(
         pl.BlockSpec((1, tile, t_len, n_out), lambda bi, i: (bi, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, tile, t_len, n_out),
-                     lambda bi, i: (i, bi, 0, 0, 0),
+                     (lambda bi, i: (i, bi, 0, 0, 0)) if stochastic
+                     else (lambda bi, i: (0, bi, 0, 0, 0)),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n_layers, c), lambda bi, i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -342,7 +349,8 @@ def fused_sample_pallas(
     ]
 
     kernel = _make_kernel(n_layers, taps, tuple(dilations), pad, guided,
-                          float(w_guidance), tile, t_len, c, conditional)
+                          float(w_guidance), tile, t_len, c, conditional,
+                          stochastic)
 
     x0 = pl.pallas_call(
         kernel,

@@ -154,8 +154,7 @@ def sample_sequence_parallel(
 
     mc = task.model.config
     cfg = task.config
-    dil = tuple(mc.dilation_base ** (i % mc.dilation_bound)
-                for i in range(mc.residual_layers))
+    dil = mc.dilations()
     w = stack_weights(params, mc.residual_layers)
 
     def net(x, t_vec, c):

@@ -49,7 +49,8 @@ class TranscriptionService:
 
     def __init__(self, task, params, *, max_batch: int = 8,
                  max_wait_ms: float = 25.0, overlap_frames: int = 32,
-                 frame_threshold: float = 0.5, seed: int = 0, mesh=None):
+                 frame_threshold: float = 0.5, seed: int = 0, mesh=None,
+                 max_body_mb: float = 64.0):
         self.task = task
         self.params = params
         self.mesh = mesh
@@ -66,25 +67,31 @@ class TranscriptionService:
         self.max_wait_s = max_wait_ms / 1e3
         self.overlap_frames = overlap_frames
         self.frame_threshold = frame_threshold
+        self.max_body_bytes = int(max_body_mb * 1024 * 1024)
         self._queue: "queue.Queue[_WindowJob]" = queue.Queue()
         self._key = jax.random.key(seed)
         self._key_lock = threading.Lock()
-        self._run = jax.jit(
-            lambda p, x_T, k, wav: task.sample(p, x_T, k, waveform=wav)[0]
-        )
+        # the service must NOT donate x_T: the same compiled program is
+        # reused across batches
+        self._run = task.sample_jit(donate=False)
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
         self._worker.start()
         self.stats = {"requests": 0, "windows": 0, "batches": 0,
                       "audio_seconds": 0.0}
+        self._stats_lock = threading.Lock()
 
     # ------------------------------------------------------------- warmup
 
     def warmup(self):
-        """Compile the sampler program before taking traffic."""
+        """Compile the sampler program before taking traffic. The synthetic
+        warmup request is excluded from the service counters."""
         wav = np.zeros(self.seq_len, np.float32)
         self.transcribe(wav)
+        with self._stats_lock:
+            self.stats.update(requests=0, windows=0, batches=0,
+                              audio_seconds=0.0)
 
     # -------------------------------------------------------------- public
 
@@ -114,8 +121,9 @@ class TranscriptionService:
             raise req.error
         from ..tasks.transcribe import stitch_rolls
 
-        self.stats["requests"] += 1
-        self.stats["audio_seconds"] += len(audio) / self.sample_rate
+        with self._stats_lock:
+            self.stats["requests"] += 1
+            self.stats["audio_seconds"] += len(audio) / self.sample_rate
         return stitch_rolls(np.stack(req.rolls), self.overlap_frames,
                             total_frames)
 
@@ -177,8 +185,9 @@ class TranscriptionService:
             x_T = jax.device_put(x_T, batch_sharding(self.mesh))
             wav_j = jax.device_put(wav_j, batch_sharding(self.mesh))
         rolls = np.asarray(self._run(self.params, x_T, sk, wav_j))
-        self.stats["windows"] += n
-        self.stats["batches"] += 1
+        with self._stats_lock:
+            self.stats["windows"] += n
+            self.stats["batches"] += 1
         for i, job in enumerate(jobs):
             job.request.deliver(job.index, rolls[i])
 
@@ -199,7 +208,9 @@ def _make_handler(service: TranscriptionService, info: dict):
 
         def do_GET(self):
             if urlparse(self.path).path == "/healthz":
-                payload = {"status": "ok", "stats": service.stats, **info}
+                with service._stats_lock:
+                    stats = dict(service.stats)
+                payload = {"status": "ok", "stats": stats, **info}
                 self._send(200, json.dumps(payload).encode())
             else:
                 self._send(404, b'{"error": "not found"}')
@@ -211,17 +222,29 @@ def _make_handler(service: TranscriptionService, info: dict):
                 return
             q = parse_qs(url.query)
             length = int(self.headers.get("Content-Length", 0))
+            if length > service.max_body_bytes:
+                self._send(413, json.dumps(
+                    {"error": f"body exceeds {service.max_body_bytes} bytes"}
+                ).encode())
+                return
             body = self.rfile.read(length)
+            # client-side faults (undecodable audio, bad query params) -> 400
             try:
                 from ..io.wav import read_wav
 
+                thr = float(q.get("threshold", [service.frame_threshold])[0])
                 with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
                     tmp.write(body)
                     tmp.flush()
                     audio, sr = read_wav(tmp.name, mono=True)
+            except Exception as e:
+                self._send(400, json.dumps({"error": str(e)}).encode())
+                return
+            # server-side faults (sampler/runtime errors, queue timeout)
+            # -> 5xx, so retry policies and monitoring classify correctly
+            try:
                 t0 = time.monotonic()
                 roll = service.transcribe(audio, sample_rate=sr)
-                thr = float(q.get("threshold", [service.frame_threshold])[0])
                 notes = service.notes(roll, thr)
                 if q.get("midi", ["0"])[0] in ("1", "true"):
                     from ..io.midi import write_midi
@@ -240,8 +263,10 @@ def _make_handler(service: TranscriptionService, info: dict):
                     "notes": notes,
                 }
                 self._send(200, json.dumps(payload).encode())
-            except Exception as e:  # one bad request must not kill the server
-                self._send(400, json.dumps({"error": str(e)}).encode())
+            except TimeoutError as e:
+                self._send(504, json.dumps({"error": str(e)}).encode())
+            except Exception as e:  # must not kill the server
+                self._send(500, json.dumps({"error": str(e)}).encode())
 
     return Handler
 
@@ -249,8 +274,11 @@ def _make_handler(service: TranscriptionService, info: dict):
 def serve_forever(service: TranscriptionService, host: str = "127.0.0.1",
                   port: int = 8077, info: Optional[dict] = None,
                   ready: Optional[threading.Event] = None):
-    """Blocking HTTP loop. Returns the server if `ready` is given (the
-    caller owns shutdown — used by tests)."""
+    """Blocking HTTP loop. When `ready` is given, the ThreadingHTTPServer
+    instance is attached as `ready.server` before `ready.set()`, so a
+    caller running this in a thread can `ready.wait()` then drive
+    `ready.server.shutdown()` (this function itself only returns after
+    shutdown; see tests/test_serve.py)."""
     server = ThreadingHTTPServer((host, port),
                                  _make_handler(service, info or {}))
     if ready is not None:

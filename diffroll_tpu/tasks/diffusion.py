@@ -134,11 +134,9 @@ class DiffusionTask:
             c = jax.lax.stop_gradient(c)
         from ..ops import fused_forward
 
-        dil = tuple(mc.dilation_base ** (i % mc.dilation_bound)
-                    for i in range(mc.residual_layers))
         return fused_forward(
-            params, x_t, t, c, n_layers=mc.residual_layers, dilations=dil,
-            max_steps=mc.timesteps,
+            params, x_t, t, c, n_layers=mc.residual_layers,
+            dilations=mc.dilations(), max_steps=mc.timesteps,
             trainable="pallas_fwd" if on_tpu else "xla", need_dcond=False)
 
     def loss_fn(
@@ -297,13 +295,12 @@ class DiffusionTask:
             # (spec := -1, reference model/diffwave.py:656-660) is applied
             # to the raw conditioner here, once per clip.
             weights = stack_weights(params, mc.residual_layers)
-            dil = tuple(mc.dilation_base ** (i % mc.dilation_bound)
-                        for i in range(mc.residual_layers))
 
             def net(x, t_vec, c):
                 return fused_forward(
                     params, x, t_vec, c, n_layers=mc.residual_layers,
-                    dilations=dil, max_steps=mc.timesteps, weights=weights)
+                    dilations=mc.dilations(), max_steps=mc.timesteps,
+                    weights=weights)
 
             return self.make_step_fn_from_net(net, cond)
 
@@ -380,7 +377,10 @@ class DiffusionTask:
         cfg = self.config
         if cfg.use_megakernel is not None:
             return bool(cfg.use_megakernel) and supports_fused(self.model.config)
+        # use_fused=false is the documented "no Pallas sampling" opt-out;
+        # the auto megakernel must respect it too
         return (jax.default_backend() == "tpu"
+                and cfg.use_fused is not False
                 and supports_fused(self.model.config))
 
     def _sample_megakernel(self, params, x_T, key, cond):
@@ -404,11 +404,19 @@ class DiffusionTask:
 
         ts_np = timestep_subsequence(cfg.timesteps, cfg.sampling_steps)
         tsp_np = np.concatenate([ts_np[1:], [-1]]).astype(np.int32)
-        tables = jnp.asarray(
-            sampler_tables(self.schedule, cfg.sampling_type, ts_np, tsp_np))
-        keys = jax.random.split(key, len(ts_np))
-        noise = jax.vmap(
-            lambda k: jax.random.normal(k, x_T.shape, x_T.dtype))(keys)
+        tables_np = sampler_tables(self.schedule, cfg.sampling_type,
+                                   ts_np, tsp_np)
+        tables = jnp.asarray(tables_np)
+        # deterministic samplers (every sigma == 0) skip the noise draw
+        # entirely — at B=16 x 200 steps the dead tensor would be ~720 MB
+        # of HBM the kernel streams just to multiply by zero
+        stochastic = bool(np.any(tables_np[:, 2] != 0.0))
+        if stochastic:
+            keys = jax.random.split(key, len(ts_np))
+            noise = jax.vmap(
+                lambda k: jax.random.normal(k, x_T.shape, x_T.dtype))(keys)
+        else:
+            noise = jnp.zeros((1,) + x_T.shape, x_T.dtype)
 
         w = stack_weights(params, mc.residual_layers)
         head = head_weights(params)
@@ -420,12 +428,10 @@ class DiffusionTask:
 
         if cond is not None and generation:
             cond = jnp.full_like(cond, -1.0)  # reference model/diffwave.py:656
-        dil = tuple(mc.dilation_base ** (i % mc.dilation_bound)
-                    for i in range(mc.residual_layers))
         return fused_sample_pallas(
-            x_T, noise, t_bias, tables, w, head, cond, dil,
+            x_T, noise, t_bias, tables, w, head, cond, mc.dilations(),
             guided=bool(guided and cond is not None),
-            w_guidance=float(cfg.w),
+            w_guidance=float(cfg.w), stochastic=stochastic,
             interpret=jax.default_backend() != "tpu",
         )
 

@@ -17,7 +17,7 @@ process Pallas kernel both already take this path.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -134,7 +134,7 @@ def distill_stage(
     log: Optional[Callable[[int, float], None]] = None,
 ) -> Tuple[Any, float]:
     """One halving: train a student (initialized from the teacher) on the
-    `student_steps` grid. Returns (student params, final mean loss)."""
+    `student_steps` grid. Returns (student params, final-step loss)."""
     student_grid, midpoints = distill_grids(timesteps, student_steps)
     loss_fn = make_distill_loss(
         model, schedule, teacher_params, student_grid, midpoints,
@@ -148,16 +148,17 @@ def distill_stage(
     step = make_train_step(loss_fn, tx, mesh=mesh,
                            state_example=state if mesh is not None else None)
     key = jax.random.key(np.int64(student_steps) * 7919 + 13)
-    recent: List[float] = []
+    losses: Dict[str, jnp.ndarray] = {}
     for it in range(n_steps):
         batch = next(batches)
         key, k = jax.random.split(key)
         state, losses = step(state, batch, k)
         if log is not None and (it % 100 == 0 or it == n_steps - 1):
-            val = float(losses["distill_loss"])
-            recent.append(val)
-            log(it, val)
-    return state.params, (recent[-1] if recent else float("nan"))
+            log(it, float(losses["distill_loss"]))
+    # the final-step loss is read AFTER the loop so it costs one device
+    # fetch regardless of logging
+    last = float(losses["distill_loss"]) if losses else float("nan")
+    return state.params, last
 
 
 def progressive_distill(

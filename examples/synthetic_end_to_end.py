@@ -111,13 +111,15 @@ def main():
 
     print("transcribing held-out clips...", file=sys.stderr)
 
-    def score(sampler, n_steps):
+    def score(sampler, n_steps, params=None, w=None):
         t2 = DiffusionTask(model, task.config.replace(
-            sampling_type=sampler, sampling_steps=n_steps))
-        run = jax.jit(lambda p, x, k, w: t2.sample(p, x, k, waveform=w)[0])
+            sampling_type=sampler, sampling_steps=n_steps,
+            w=task.config.w if w is None else w))
+        run = jax.jit(lambda p, x, k, wav: t2.sample(p, x, k, waveform=wav)[0])
         key2, nk, sk = jax.random.split(jax.random.key(7), 3)
         x_T = jax.random.normal(nk, (n_test, FRAMES, 88))
-        pred = run(state.params, x_T, sk, test_audio)
+        pred = run(state.params if params is None else params,
+                   x_T, sk, test_audio)
         return evaluate_rolls(np.asarray(pred), test_frame,
                               frame_threshold=0.5, hop_length=HOP,
                               sample_rate=SR)
@@ -141,6 +143,43 @@ def main():
                 }
                 print(f"{tag}: note {s['note_f1']:.3f} "
                       f"frame {s['frame_f1']:.3f}", file=sys.stderr)
+
+    if ARGS.get("distill"):
+        # guided progressive distillation (train/distill.py): quality of
+        # single-forward few-step students vs the undistilled strided
+        # sampler at the SAME step counts
+        from diffroll_tpu.config.experiment import DistillConfig
+        from diffroll_tpu.train.distill import progressive_distill
+
+        def batches():
+            k = jax.random.key(11)
+            while True:
+                k, bk = jax.random.split(k)
+                idx = jax.random.choice(bk, n_train, (bsz,), replace=False)
+                yield {"frame": train_frame[idx], "audio": train_audio[idx]}
+
+        dcfg = DistillConfig(
+            start_steps=int(ARGS.get("distill_start", 13)),
+            stages=int(ARGS.get("distill_stages", 3)),
+            steps_per_stage=int(ARGS.get("distill_steps", 1500)),
+            lr=float(ARGS.get("distill_lr", 1e-4)), w=0.5)
+        students = progressive_distill(
+            model, task.schedule, state.params, batches(), TIMESTEPS, dcfg,
+            log=lambda msg: print(msg, file=sys.stderr))
+        m["distill"] = {}
+        for n in sorted(students, reverse=True):
+            s_d = score("ddim_x0", n, params=students[n], w=0.0)
+            s_u = score("cfdg_ddim_x0", n)
+            m["distill"][f"{n}steps"] = {
+                "distilled_note_f1": round(s_d["note_f1"], 3),
+                "distilled_frame_f1": round(s_d["frame_f1"], 3),
+                "undistilled_note_f1": round(s_u["note_f1"], 3),
+                "undistilled_frame_f1": round(s_u["frame_f1"], 3),
+            }
+            print(f"distilled@{n}: note {s_d['note_f1']:.3f} frame "
+                  f"{s_d['frame_f1']:.3f} | undistilled@{n}: note "
+                  f"{s_u['note_f1']:.3f} frame {s_u['frame_f1']:.3f}",
+                  file=sys.stderr)
 
     print(json.dumps(m, indent=2))
     return m
