@@ -12,6 +12,9 @@ The full metric set (BASELINE.md:29-33) rides in "extras" of the SAME
 single JSON line:
   * ddpm_steps_per_sec          — sampler reverse steps/sec/chip at B=1
   * ddim50_latency_s            — 50-step strided DDIM e2e latency
+  * distilled5_latency_s / _audio_s_per_s_b16 — the progressive-distillation
+                                  serving path (ddim_x0@5, guidance folded:
+                                  one forward per step; train/distill.py)
   * serving_audio_s_per_s_b16   — batched transcription throughput
   * train_step_ms_b16 / _bf16   — train-step latency (f32 and bf16 compute),
                                   timed INSIDE a lax.scan (the chip sits
@@ -70,6 +73,25 @@ def bench_sampling(extras):
     extras["ddim50_latency_s"] = round(e2e(1, 50), 4)
     dt16 = e2e(16, None)
     extras["serving_audio_s_per_s_b16"] = round(16 * frames * 512 / 16000 / dt16, 1)
+
+    # the distilled-sampler serving path (train/distill.py): few-step
+    # deterministic grid, guidance folded in => ONE forward per step.
+    # Latency is weight-independent, so random params measure it exactly;
+    # quality evidence lives in examples/synthetic_end_to_end.py distill=1.
+    def distilled(batch, steps):
+        task = DiffusionTask(model, TaskConfig(
+            timesteps=200, w=0.0, sampling_type="ddim_x0",
+            sampling_steps=steps))
+        params = model.init(jax.random.key(0))
+        wav = jax.random.normal(jax.random.key(1), (batch, frames * 512))
+        x_T = jax.random.normal(jax.random.key(2), (batch, frames, pitches))
+        run = task.sample_jit(donate=False)
+        return timeit(lambda: run(params, x_T, jax.random.key(3), wav))
+
+    extras["distilled5_latency_s"] = round(distilled(1, 5), 4)
+    d16 = distilled(16, 5)
+    extras["distilled5_audio_s_per_s_b16"] = round(
+        16 * frames * 512 / 16000 / d16, 1)
     return dt
 
 
