@@ -66,8 +66,8 @@ def main(argv: Optional[List[str]] = None):
         ax.legend(fontsize=7)
         fig.tight_layout()
         fig.savefig(run_dir / "sweep.png", dpi=120)
-    except Exception:
-        pass
+    except Exception as e:  # figure is decoration; the json table already
+        print(f"sweep figure skipped: {e}", file=sys.stderr)  # landed above
     print(json.dumps({"run_dir": str(run_dir), "points": len(rows)}))
     return rows
 

@@ -92,7 +92,9 @@ class PairedAudioMidi:
         self.overlap = bool(overlap) and sequence_length is not None
         self._windows: Optional[List[Tuple[int, int]]] = None
         self._lengths: Dict[int, int] = {}
-        self._rng = np.random.RandomState(seed)
+        self._seed = int(seed)
+        self._draw_counts: Dict[int, int] = {}
+        self._draw_lock = threading.Lock()
         # decoded-audio memo-cache, LRU-bounded: MAESTRO-scale corpora
         # (~200 h -> ~46 GB of f32 @ 16 kHz) cannot be held whole in host
         # RAM; least-recently-used clips are evicted past max_cache_bytes
@@ -141,6 +143,23 @@ class PairedAudioMidi:
                     wins.append((i, w * stride))
             self._windows = wins
         return self._windows
+
+    def _draw(self, clip_idx: int) -> int:
+        """Stateless-per-draw random integer for window starts: hashed from
+        (seed, clip, per-clip draw count) so results do not depend on the
+        thread interleaving of the parallel loader — a shared stateful
+        RandomState made training windows irreproducible across worker
+        counts (the reference's torch workers had the same property)."""
+        clip_idx = int(clip_idx)  # numpy ints overflow the 64-bit mixing
+        with self._draw_lock:
+            k = self._draw_counts.get(clip_idx, 0)
+            self._draw_counts[clip_idx] = k + 1
+        # splitmix64 finalizer over the packed key
+        z = (self._seed * 0x9E3779B97F4A7C15
+             + clip_idx * 0xBF58476D1CE4E5B9 + k) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return int((z ^ (z >> 31)) & 0x7FFFFFFF)
 
     def _audio(self, idx: int) -> np.ndarray:
         with self._cache_lock:
@@ -205,17 +224,17 @@ class PairedAudioMidi:
             else:
                 # align segment starts to the hop grid so roll frames line up
                 max_start = (len(audio) - seq) // self.hop_length
-                start = int(self._rng.randint(0, max_start + 1)) * self.hop_length
+                start = (self._draw(clip_idx) % (max_start + 1)) * self.hop_length
         audio_seg = audio[start : start + seq]
         if len(audio_seg) < seq:
             audio_seg = np.pad(audio_seg, (0, seq - len(audio_seg)))
 
         n_frames = seq // self.hop_length
-        t0 = start / self.sampling_rate
         frame, onset = rasterize_arrays(
-            onsets - t0, offsets - t0, pitches,
+            onsets, offsets, pitches,
             n_frames, self.hop_length, self.sampling_rate,
             self.min_midi, self.max_midi,
+            frame_offset=start // self.hop_length,
         )
         item = {"frame": frame, "audio": audio_seg, "onset": onset}
         if with_meta:

@@ -51,11 +51,28 @@ def rasterize_arrays(
     sample_rate: int = 16000,
     min_midi: int = 21,
     max_midi: int = 108,
+    frame_offset: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Array-in variant — the loader hot path: per-clip note arrays are
-    cached once and each window rasterizes with a time offset applied to
-    the arrays, with no per-note Python objects."""
+    cached once and each window rasterizes them directly, with no per-note
+    Python objects.
+
+    `frame_offset` rasterizes the window starting at that ABSOLUTE frame:
+    rounding happens on the absolute frame grid first, then the integer
+    offset is subtracted, so a window's roll is bit-identical to the
+    matching slice of the full-clip roll. (Subtracting the start *time*
+    from the onsets instead shifts exact .5-frame boundaries by float
+    error and flips boundary frames.)"""
     from .. import native
+
+    if frame_offset:
+        fps = sample_rate / hop_length
+        f0a = np.floor(np.asarray(onsets) * fps + 0.5) - frame_offset
+        f1a = np.floor(np.asarray(offsets) * fps + 0.5) - frame_offset
+        # re-encode as frame-centered times: floor(t*fps + 0.5) recovers
+        # the integer exactly for both the numpy and the C path
+        onsets = (f0a + 0.25) / fps
+        offsets = (f1a + 0.25) / fps
 
     if len(onsets) and native.available():
         out = native.rasterize(

@@ -323,3 +323,40 @@ def test_audio_cache_lru_eviction(tmp_path):
     again = [ds[i]["audio"] for i in range(6)]
     for a, b in zip(ref, again):
         np.testing.assert_array_equal(a, b)
+
+
+def test_window_roll_equals_full_roll_slice_all_starts(tmp_path):
+    """EVERY hop-aligned window's roll is bit-identical to the matching
+    slice of the full-clip roll — including .5-frame note boundaries
+    (rasterize_arrays frame_offset: rounding on the absolute grid)."""
+    from diffroll_tpu.data.rasterize import rasterize_arrays
+
+    # onsets/offsets engineered to land exactly on x.5 frame boundaries
+    notes = [(60, 0.1, 3.9), (72, 1.0, 1.5), (84, 2.0, 2.25),
+             (65, 512 * 10.5 / SR, 512 * 20.5 / SR)]
+    on = np.array([n[1] for n in notes])
+    off = np.array([n[2] for n in notes])
+    pit = np.array([n[0] for n in notes])
+    total = 125
+    full, _ = rasterize_arrays(on, off, pit, total, HOP, SR)
+    n_frames = 31
+    for f0 in range(0, total - n_frames):
+        win, _ = rasterize_arrays(on, off, pit, n_frames, HOP, SR,
+                                  frame_offset=f0)
+        np.testing.assert_array_equal(win, full[f0:f0 + n_frames],
+                                      err_msg=f"start frame {f0}")
+
+
+def test_loader_deterministic_across_worker_counts(maps_tree):
+    """Random train windows are reproducible regardless of worker count /
+    thread interleaving (stateless per-(clip, draw) hashing, amt._draw)."""
+    def batches(nw):
+        ds = MAPS(str(maps_tree), groups="train", sequence_length=SR)
+        loader = DataLoader(ds, batch_size=2, shuffle=True, seed=7,
+                            num_workers=nw)
+        return [b["frame"] for _ in range(2) for b in loader]
+
+    a, b = batches(1), batches(4)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
