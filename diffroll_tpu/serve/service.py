@@ -72,8 +72,9 @@ class TranscriptionService:
         self._key = jax.random.key(seed)
         self._key_lock = threading.Lock()
         # the service must NOT donate x_T: the same compiled program is
-        # reused across batches
-        self._run = task.sample_jit(donate=False)
+        # reused across batches. The mesh routes the Pallas megakernel
+        # through shard_map so sharded batches stay per-device.
+        self._run = task.sample_jit(donate=False, mesh=mesh)
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)

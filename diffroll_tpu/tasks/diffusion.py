@@ -356,15 +356,23 @@ class DiffusionTask:
         waveform: Optional[jnp.ndarray] = None,
         roll_cond: Optional[jnp.ndarray] = None,
         record_every: Optional[int] = None,
+        mesh=None,
     ):
         """Full reverse process. Returns (x_0, trajectory or None).
 
         The conditioner is computed ONCE here and closed over by the scan
         body — 1 mel evaluation per clip instead of the reference's 400.
+
+        `mesh`: when sampling a batch sharded over a device mesh, pass it
+        so the Pallas megakernel runs per-shard under shard_map (XLA has
+        no partitioning rule for pallas_call — without the mesh it would
+        gather and run the FULL batch replicated on every device). The
+        scan path partitions automatically and ignores it.
         """
         cond = self.build_conditioner(x_T, waveform, roll_cond)
         if record_every is None and self._megakernel_applies():
-            return self._sample_megakernel(params, x_T, key, cond), None
+            return self._sample_megakernel(params, x_T, key, cond,
+                                           mesh=mesh), None
         step = self.make_step_fn(params, cond)
         return sample_loop(
             step, x_T, self.config.timesteps, key,
@@ -383,7 +391,7 @@ class DiffusionTask:
                 and cfg.use_fused is not False
                 and supports_fused(self.model.config))
 
-    def _sample_megakernel(self, params, x_T, key, cond):
+    def _sample_megakernel(self, params, x_T, key, cond, mesh=None):
         """The whole reverse process in ONE Pallas kernel, weights resident
         in VMEM (ops/sampler_kernel.py). Matches the scan path's math AND
         its noise draws (same key split + per-step normal)."""
@@ -428,16 +436,31 @@ class DiffusionTask:
 
         if cond is not None and generation:
             cond = jnp.full_like(cond, -1.0)  # reference model/diffwave.py:656
-        return fused_sample_pallas(
-            x_T, noise, t_bias, tables, w, head, cond, mc.dilations(),
+
+        run = functools.partial(
+            fused_sample_pallas, dilations=mc.dilations(),
             guided=bool(guided and cond is not None),
             w_guidance=float(cfg.w), stochastic=stochastic,
             interpret=jax.default_backend() != "tpu",
         )
+        data = 1 if mesh is None else int(mesh.shape.get("data", 1))
+        if data > 1 and x_T.shape[0] % data == 0:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
 
-    def sample_jit(self, donate: bool = True):
-        """A jitted (params, x_T, key, waveform) -> x_0 transcription fn."""
-        f = functools.partial(self.sample, record_every=None)
+            dp, rep = P("data"), P()
+            run = shard_map(
+                run, mesh=mesh,
+                in_specs=(dp, P(None, "data"), rep, rep, rep, rep,
+                          rep if cond is None else dp),
+                out_specs=dp, check_rep=False,
+            )
+        return run(x_T, noise, t_bias, tables, w, head, cond)
+
+    def sample_jit(self, donate: bool = True, mesh=None):
+        """A jitted (params, x_T, key, waveform) -> x_0 transcription fn.
+        Pass `mesh` when batches are sharded over one (see `sample`)."""
+        f = functools.partial(self.sample, record_every=None, mesh=mesh)
 
         def run(params, x_T, key, waveform):
             x0, _ = f(params, x_T, key, waveform=waveform)

@@ -137,3 +137,33 @@ def test_megakernel_unconditional():
         params, x_T, jax.random.key(3))
     rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-6)
     assert rel < 0.05, rel
+
+
+def test_megakernel_shard_map_over_data_axis():
+    """With a mesh, the megakernel runs per-shard under shard_map: the
+    output stays sharded over 'data' (XLA has no partitioning rule for
+    pallas_call — unsharded it would replicate the full batch on every
+    device) and matches the scan path."""
+    from diffroll_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    model = models.build("ClassifierFreeDiffRoll", residual_channels=16,
+                         residual_layers=2, frames=16, timesteps=T)
+    params = model.init(jax.random.key(0))
+    head = params["params"]["output_projection"]
+    head["kernel"] = 0.05 * jax.random.normal(jax.random.key(9),
+                                              head["kernel"].shape)
+    mesh = make_mesh(data=len(jax.devices()), model=1, devices=jax.devices())
+    x_T = jax.random.normal(jax.random.key(2), (8, 16, 88))
+    wav = jax.random.normal(jax.random.key(1), (8, 16 * 512))
+    xs = jax.device_put(x_T, batch_sharding(mesh))
+    ws = jax.device_put(wav, batch_sharding(mesh))
+
+    kw = dict(timesteps=T, sampling_type="cfdg_ddpm_x0", w=0.5)
+    mk = DiffusionTask(model, TaskConfig(use_megakernel=True, **kw))
+    sc = DiffusionTask(model, TaskConfig(use_megakernel=False, **kw))
+    out = jax.block_until_ready(
+        mk.sample_jit(donate=False, mesh=mesh)(params, xs, jax.random.key(3),
+                                               ws))
+    ref = sc.sample(params, x_T, jax.random.key(3), waveform=wav)[0]
+    assert "data" in str(out.sharding.spec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
