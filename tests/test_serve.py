@@ -117,3 +117,64 @@ def test_http_endpoints(service, tmp_path):
             assert json.loads(r.read())["status"] == "ok"
     finally:
         server.shutdown()
+
+
+def test_warmup_excluded_from_stats():
+    model = models.build("ClassifierFreeDiffRoll", residual_channels=16,
+                         residual_layers=2, frames=FRAMES, timesteps=4)
+    params = model.init(jax.random.key(0))
+    task = DiffusionTask(model, TaskConfig(timesteps=4, w=0.5))
+    svc = TranscriptionService(task, params, max_batch=2, max_wait_ms=5,
+                               overlap_frames=4)
+    svc.warmup()
+    assert svc.stats == {"requests": 0, "windows": 0, "batches": 0,
+                         "audio_seconds": 0.0}
+    svc.transcribe(np.zeros(SEQ, np.float32))
+    assert svc.stats["requests"] == 1 and svc.stats["windows"] == 1
+    svc.close()
+
+
+def test_http_body_cap_and_fault_classes(service, tmp_path):
+    """Oversized bodies -> 413; client decode faults -> 400; server-side
+    sampler faults -> 5xx."""
+    import urllib.error
+
+    svc = TranscriptionService(service.task, service.params, max_batch=2,
+                               max_wait_ms=5, max_body_mb=0.01,
+                               overlap_frames=4)
+    ready = threading.Event()
+    t = threading.Thread(target=serve_forever, args=(svc, "127.0.0.1", 0),
+                         kwargs={"ready": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+    server = ready.server  # type: ignore[attr-defined]
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        req = urllib.request.Request(f"{base}/transcribe",
+                                     data=b"x" * 20_000, method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 413"
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+
+        # server-side fault: break the sampler, expect 5xx not 400
+        wav_path = tmp_path / "tiny.wav"
+        write_wav(wav_path, np.zeros(HOP * 4, np.float32), SR)
+        orig = svc._run
+        svc._run = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("device fell over"))
+        try:
+            req = urllib.request.Request(
+                f"{base}/transcribe", data=wav_path.read_bytes(),
+                method="POST")
+            try:
+                urllib.request.urlopen(req, timeout=60)
+                assert False, "expected HTTP 500"
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+        finally:
+            svc._run = orig
+    finally:
+        server.shutdown()
+        svc.close()
