@@ -59,12 +59,14 @@ def run_test(cfg, model, task, state, artifacts_dir=None,
     if single:
         thresholds = [_common.task_threshold(cfg)]
 
-    sample = jax.jit(
-        lambda params, x_T, key, waveform: task.sample(
-            params, x_T, key, waveform=waveform)[0]
-    )
     key = jax.random.key(cfg.trainer.seed)
     mesh = _common.setup_mesh(cfg)
+    # mesh routes the Pallas megakernel through shard_map for sharded
+    # eval batches (tasks/diffusion.sample)
+    sample = jax.jit(
+        lambda params, x_T, key, waveform: task.sample(
+            params, x_T, key, waveform=waveform, mesh=mesh)[0]
+    )
 
     def shard(x):
         # eval clips are independent: shard them over the mesh data axis

@@ -105,7 +105,8 @@ def transcribe_long(
         batch_size = max(batch_size // data_axis, 1) * data_axis
 
     run = jax.jit(
-        lambda p, x_T, k, wav: task.sample(p, x_T, k, waveform=wav)[0]
+        lambda p, x_T, k, wav: task.sample(p, x_T, k, waveform=wav,
+                                           mesh=mesh)[0]
     )
 
     rolls = []

@@ -74,7 +74,8 @@ def make_clip(seed):
 
 def main():
     steps = int(ARGS.get("steps", 2000))
-    n_train, n_test, bsz = 64, 8, 8
+    n_train = int(ARGS.get("n_train", 64))
+    n_test, bsz = 8, 8
 
     print("building synthetic dataset...", file=sys.stderr)
     train = [make_clip(i) for i in range(n_train)]
