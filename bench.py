@@ -58,10 +58,12 @@ def bench_sampling(extras):
     model = models.build("ClassifierFreeDiffRoll")
     frames, pitches = model.config.frames, model.config.pitches
 
-    def e2e(batch, steps, timesteps=200):
+    def e2e(batch, steps, sampling_type=None, w=0.5):
+        if sampling_type is None:
+            sampling_type = "cfdg_ddpm_x0" if steps is None else "cfdg_ddim_x0"
         task = DiffusionTask(model, TaskConfig(
-            timesteps=timesteps, w=0.5, sampling_type="cfdg_ddpm_x0"
-            if steps is None else "cfdg_ddim_x0", sampling_steps=steps))
+            timesteps=200, w=w, sampling_type=sampling_type,
+            sampling_steps=steps))
         params = model.init(jax.random.key(0))
         wav = jax.random.normal(jax.random.key(1), (batch, frames * 512))
         x_T = jax.random.normal(jax.random.key(2), (batch, frames, pitches))
@@ -78,18 +80,9 @@ def bench_sampling(extras):
     # deterministic grid, guidance folded in => ONE forward per step.
     # Latency is weight-independent, so random params measure it exactly;
     # quality evidence lives in examples/synthetic_end_to_end.py distill=1.
-    def distilled(batch, steps):
-        task = DiffusionTask(model, TaskConfig(
-            timesteps=200, w=0.0, sampling_type="ddim_x0",
-            sampling_steps=steps))
-        params = model.init(jax.random.key(0))
-        wav = jax.random.normal(jax.random.key(1), (batch, frames * 512))
-        x_T = jax.random.normal(jax.random.key(2), (batch, frames, pitches))
-        run = task.sample_jit(donate=False)
-        return timeit(lambda: run(params, x_T, jax.random.key(3), wav))
-
-    extras["distilled5_latency_s"] = round(distilled(1, 5), 4)
-    d16 = distilled(16, 5)
+    extras["distilled5_latency_s"] = round(
+        e2e(1, 5, sampling_type="ddim_x0", w=0.0), 4)
+    d16 = e2e(16, 5, sampling_type="ddim_x0", w=0.0)
     extras["distilled5_audio_s_per_s_b16"] = round(
         16 * frames * 512 / 16000 / d16, 1)
     return dt

@@ -15,7 +15,8 @@ Design notes (host-side, pure numpy):
   * labels come from the paired MIDI (or MAPS .txt) file, rasterized on
     the fly for the sampled window only;
   * train mode samples a random `sequence_length` window per __getitem__
-    from a per-epoch seeded RNG (reference datasets pass seed=42);
+    hashed statelessly from (seed, clip, per-clip draw count) so they
+    reproduce across loader worker counts (reference datasets pass seed=42);
     eval mode (`sequence_length=None` or `deterministic=True`) yields the
     clip head, matching the reference's fixed eval segments.
 

@@ -114,9 +114,9 @@ class DataLoader:
         # ONE persistent pool per loader. The previous design (a dedicated
         # producer thread feeding a bounded Queue, plus a fresh pool per
         # epoch) spent most of its time in GIL handoff between producer and
-        # consumer — measured 267 clips/s against 2,720 for the same work
-        # inline. Futures pulled by the consumer avoid the extra thread hop
-        # entirely: measured ~6x faster steady-state on the bench tree.
+        # consumer — machinery microbenchmark 267 clips/s vs 2,720 inline;
+        # end-to-end steady state ~570 vs ~2,000 clips/s (3.5x) with
+        # consumer-pulled futures (no extra thread hop).
         if self._executor is None:
             self._executor = cf.ThreadPoolExecutor(self.num_workers)
         return self._executor
@@ -137,17 +137,30 @@ class DataLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
 
         pool = self._pool()
-        # one task per batch; parallelism comes from depth batches in
+        # one task per batch; parallelism comes from `prefetch` batches in
         # flight across the workers (within-batch fan-out measured slower:
-        # 16 sub-millisecond tasks per batch are pure scheduling overhead)
-        depth = max(self.prefetch, self.num_workers)
+        # 16 sub-millisecond tasks per batch are pure scheduling overhead).
+        # prefetch bounds host memory: at most prefetch collated batches
+        # exist at once (num_workers only caps thread concurrency).
+        depth = max(self.prefetch, 1)
         pending: "collections.deque" = collections.deque()
         it = iter(batches)
-        for b in itertools.islice(it, depth):
-            pending.append(pool.submit(self._make_batch, b))
-        while pending:
-            fut = pending.popleft()
-            nb = next(it, None)
-            if nb is not None:
-                pending.append(pool.submit(self._make_batch, nb))
-            yield fut.result()
+        try:
+            for b in itertools.islice(it, depth):
+                pending.append(pool.submit(self._make_batch, b))
+            while pending:
+                fut = pending.popleft()
+                nb = next(it, None)
+                if nb is not None:
+                    pending.append(pool.submit(self._make_batch, nb))
+                yield fut.result()
+        finally:
+            # abandoned mid-epoch (break / exception / GeneratorExit):
+            # cancel queued work and WAIT for running tasks, so no stale
+            # dataset fetch can race a later epoch's draw-count ordering
+            for f in pending:
+                if not f.cancel():
+                    try:
+                        f.exception()
+                    except BaseException:
+                        pass

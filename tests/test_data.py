@@ -360,3 +360,25 @@ def test_loader_deterministic_across_worker_counts(maps_tree):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_loader_abandoned_epoch_stays_deterministic(maps_tree):
+    """Breaking out of an epoch cancels queued work and DRAINS running
+    tasks before returning, so no stale fetch can race a later epoch's
+    draw ordering: abandoned-then-resumed runs are repeatable."""
+    def run():
+        ds = MAPS(str(maps_tree), groups="train", sequence_length=SR)
+        loader = DataLoader(ds, batch_size=2, num_workers=4, prefetch=2)
+        for b in loader:
+            break  # abandon mid-epoch
+        try:
+            for b in loader:  # abandon via consumer exception
+                raise RuntimeError("consumer failure")
+        except RuntimeError:
+            pass
+        return [b["frame"] for b in loader]  # full epoch after abandonment
+
+    a, b = run(), run()
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
