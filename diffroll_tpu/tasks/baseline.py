@@ -91,9 +91,12 @@ class BaselineTask:
         return total, (losses, tensors)
 
     def sample(self, params: Any, x_T: jnp.ndarray, key: jax.Array,
-               waveform: jnp.ndarray, record_every=None):
+               waveform: jnp.ndarray, record_every=None, mesh=None):
         """Iterative eval loop (reference test path, task/baseline.py:302-334):
-        an x0-parameterised DDPM walk where the network ignores t anyway."""
+        an x0-parameterised DDPM walk where the network ignores t anyway.
+        `mesh` is accepted for interface parity with DiffusionTask.sample;
+        the scan path partitions under GSPMD without it."""
+        del mesh
         cond = self.model.conditioner(waveform=waveform)
 
         def step(x, t, t_prev, k):
