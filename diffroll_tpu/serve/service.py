@@ -85,11 +85,13 @@ class TranscriptionService:
 
     # ------------------------------------------------------------- warmup
 
-    def warmup(self):
-        """Compile the sampler program before taking traffic. The synthetic
-        warmup request is excluded from the service counters."""
+    def warmup(self, timeout: Optional[float] = 1800.0):
+        """Compile the sampler program before taking traffic. Uses its own
+        generous timeout — the first full-size compile can exceed the
+        ordinary request deadline. The synthetic warmup request is
+        excluded from the service counters."""
         wav = np.zeros(self.seq_len, np.float32)
-        self.transcribe(wav)
+        self.transcribe(wav, timeout=timeout)
         with self._stats_lock:
             self.stats.update(requests=0, windows=0, batches=0,
                               audio_seconds=0.0)
