@@ -1,8 +1,17 @@
 """`python -m diffroll_tpu <command> [preset] key=value ...`
 
-Subcommands map 1:1 to the reference entry scripts (SURVEY.md §1 L6):
-train (train_spec_roll / continue_train_single / continue_train_both via
-pretrained_path= and dual=), test, sample, infer.
+Subcommands mapping 1:1 to the reference entry scripts (SURVEY.md §1 L6):
+  train       train_spec_roll / continue_train_single / continue_train_both
+              (fine-tune via pretrained_path=, dual-dataset via dual=)
+  test        eval entry (full reverse diffusion + frame/note F1)
+  sample      transcription / inpainting / generation sampling
+  infer       unconditional U-Net inference
+
+Beyond the reference:
+  transcribe  arbitrary-length audio -> MIDI (windowed + stitched)
+  sweep       w x threshold grid -> json + figure (paper-table harness)
+  distill     guided progressive distillation (fewer steps, 1 fwd/step)
+  serve       persistent HTTP transcription service (micro-batching)
 """
 
 from __future__ import annotations
