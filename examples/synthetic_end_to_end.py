@@ -96,19 +96,48 @@ def main():
         sampling_type="cfdg_ddpm_x0", w=0.5))
     params = model.init(jax.random.key(0))
     tx = make_optimizer(task.config.lr)
-    state = TrainState.create(params, tx)
-    step = make_train_step(task.loss_fn, tx, donate_state=False)
 
-    key = jax.random.key(1)
+    def run_training(init_params, a_task, frames_arr, audio_arr, n_steps,
+                     seed, tag):
+        st = TrainState.create(init_params, tx)
+        stp = make_train_step(a_task.loss_fn, tx, donate_state=False)
+        k = jax.random.key(seed)
+        t0 = time.time()
+        n_clips = frames_arr.shape[0]
+        for i in range(n_steps):
+            k, bk, sk = jax.random.split(k, 3)
+            idx = jax.random.choice(bk, n_clips, (bsz,), replace=False)
+            st, losses = stp(st, {"frame": frames_arr[idx],
+                                  "audio": audio_arr[idx]}, sk)
+            if i % 200 == 0 or i == n_steps - 1:
+                print(f"{tag} step {i}: loss "
+                      f"{float(losses['diffusion_loss']):.4f} "
+                      f"({time.time()-t0:.0f}s)", file=sys.stderr)
+        return st
+
+    pretrain_steps = int(ARGS.get("pretrain_steps", 0))
+    if pretrain_steps:
+        # stage 1 of the reference's flagship recipe: roll-prior
+        # pretraining with spec_dropout=1 on a LARGER set whose pairing is
+        # treated as unavailable (the conditioner is always dropped to -1,
+        # so only the rolls matter — reference unsupervised_pretrained.yaml)
+        n_pre = int(ARGS.get("n_pretrain", 4 * n_train))
+        pre = [make_clip(5000 + i) for i in range(n_pre)]
+        pre_frame = jnp.asarray(np.stack([f for _, f in pre]))
+        # audio is irrelevant under p=1; noise keeps the mel path honest
+        pre_audio = jnp.asarray(np.random.RandomState(9).randn(
+            n_pre, SEQ).astype(np.float32) * 0.05)
+        pre_model = models.build(
+            "ClassifierFreeDiffRoll", residual_channels=128,
+            residual_layers=8, frames=FRAMES, timesteps=TIMESTEPS,
+            spec_dropout=1.0, dtype=ARGS.get("dtype", "float32"))
+        pre_task = DiffusionTask(pre_model, task.config)
+        params = run_training(params, pre_task, pre_frame, pre_audio,
+                              pretrain_steps, seed=21, tag="pretrain").params
+
     t0 = time.time()
-    for i in range(steps):
-        key, bk, sk = jax.random.split(key, 3)
-        idx = jax.random.choice(bk, n_train, (bsz,), replace=False)
-        batch = {"frame": train_frame[idx], "audio": train_audio[idx]}
-        state, losses = step(state, batch, sk)
-        if i % 200 == 0 or i == steps - 1:
-            print(f"step {i}: loss {float(losses['diffusion_loss']):.4f} "
-                  f"({time.time()-t0:.0f}s)", file=sys.stderr)
+    state = run_training(params, task, train_frame, train_audio, steps,
+                         seed=1, tag="train")
 
     print("transcribing held-out clips...", file=sys.stderr)
 
@@ -129,6 +158,8 @@ def main():
     m["train_steps"] = steps
     m["wall_s"] = round(time.time() - t0, 1)
     m["dtype"] = ARGS.get("dtype", "float32")
+    if pretrain_steps:
+        m["pretrain_steps"] = pretrain_steps
 
     if ARGS.get("sweep_steps"):
         # quality-vs-steps curve: how few reverse steps keep dense-schedule
