@@ -63,6 +63,43 @@ def read_wav(path: str | pathlib.Path, mono: bool = True) -> Tuple[np.ndarray, i
     return x, sr
 
 
+def read_wav_bytes(data: bytes, mono: bool = True) -> Tuple[np.ndarray, int]:
+    """Decode an in-memory audio payload (the serving hot path — avoids a
+    temp-file round trip per HTTP request). RIFF/WAVE parses directly from
+    the buffer; anything else (mp3 etc.) falls back to the ffmpeg file
+    path via a temporary file."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        import io as _io
+
+        try:
+            with wave.open(_io.BytesIO(data), "rb") as w:
+                sr = w.getframerate()
+                ch = w.getnchannels()
+                width = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+            if width == 2:
+                x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+            elif width == 4:
+                x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+            elif width == 1:
+                x = (np.frombuffer(raw, np.uint8).astype(np.float32)
+                     - 128.0) / 128.0
+            else:
+                raise wave.Error(f"width {width} via file path")
+            x = x.reshape(-1, ch).T
+            if mono:
+                x = x.mean(axis=0)
+            return x, sr
+        except wave.Error:
+            pass  # 24-bit / float32 formats: reuse the file-path parser
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".audio") as tmp:
+        tmp.write(data)
+        tmp.flush()
+        return read_wav(tmp.name, mono=mono)
+
+
 def wav_info(path: str | pathlib.Path) -> Tuple[int, int]:
     """(n_samples_per_channel, sample_rate) from the WAV header alone —
     no sample decode, so eval-segmentation indices over a large test set

@@ -233,13 +233,10 @@ def _make_handler(service: TranscriptionService, info: dict):
             body = self.rfile.read(length)
             # client-side faults (undecodable audio, bad query params) -> 400
             try:
-                from ..io.wav import read_wav
+                from ..io.wav import read_wav_bytes
 
                 thr = float(q.get("threshold", [service.frame_threshold])[0])
-                with tempfile.NamedTemporaryFile(suffix=".wav") as tmp:
-                    tmp.write(body)
-                    tmp.flush()
-                    audio, sr = read_wav(tmp.name, mono=True)
+                audio, sr = read_wav_bytes(body, mono=True)
             except Exception as e:
                 self._send(400, json.dumps({"error": str(e)}).encode())
                 return

@@ -271,3 +271,20 @@ def test_write_audio_rejects_unknown_format(tmp_path):
     with pytest.raises(ValueError):
         write_audio(tmp_path / "clip", np.zeros(10, np.float32), 16000,
                     fmt="ogg")
+
+
+def test_read_wav_bytes_matches_file(tmp_path):
+    """In-memory decode (the serving hot path) matches the file parser for
+    16-bit WAV and survives the float32-WAV fallback."""
+    import numpy as np
+
+    from diffroll_tpu.io.wav import read_wav, read_wav_bytes, write_wav
+
+    rng = np.random.RandomState(0)
+    x = (rng.randn(16000) * 0.1).astype(np.float32)
+    p = tmp_path / "a.wav"
+    write_wav(p, x, 16000)
+    a, sr_a = read_wav(p, mono=True)
+    b, sr_b = read_wav_bytes(p.read_bytes(), mono=True)
+    assert sr_a == sr_b == 16000
+    np.testing.assert_array_equal(a, b)
