@@ -23,13 +23,41 @@ def main(argv: Optional[List[str]] = None):
     cfg, _, overrides = from_argv(sys.argv[1:] if argv is None else argv,
                                   "sampling")
     cfg, model, task, state = _common.load_pretrained(cfg, overrides=overrides)
+
+    # serve is self-contained: the checkpoint's RECORDED sampler identity
+    # wins over preset defaults (a distilled student, say, must run its
+    # own few-step unguided grid), while explicit task.* CLI keys still
+    # override. The reference-mirroring entries (test/sample) keep the
+    # reference's preset-override semantics instead.
+    from ..tasks import DiffusionTask
+    from ..train import Checkpointer
+
+    stored = Checkpointer(cfg.pretrained_path).peek_config()
+    stored_task = stored.get("task")
+    if stored_task is not None and isinstance(task, DiffusionTask):
+        adopted = {
+            key: getattr(stored_task, key)
+            for key in ("sampling_type", "sampling_steps", "w",
+                        "frame_threshold")
+            if f"task.{key}" not in (overrides or {})
+        }
+        if adopted:
+            cfg = cfg.replace(task=cfg.task.replace(**adopted))
+            task = DiffusionTask(model, cfg.task)
     mesh = _common.setup_mesh(cfg)
+    params = state.params
+    if mesh is not None:
+        # the restored params carry the SAVE-time placement (orbax keeps
+        # the sharding file); re-shard onto the serving mesh
+        from ..parallel.mesh import shard_params
+
+        params = shard_params(mesh, params)
 
     from ..serve import TranscriptionService, serve_forever
 
     sv = cfg.serve
     service = TranscriptionService(
-        task, state.params,
+        task, params,
         max_batch=sv.max_batch, max_wait_ms=sv.max_wait_ms,
         overlap_frames=sv.overlap_frames, max_body_mb=sv.max_body_mb,
         frame_threshold=_common.task_threshold(cfg),

@@ -154,6 +154,25 @@ def run_test(cfg, model, task, state, artifacts_dir=None,
 def main(argv: Optional[List[str]] = None):
     cfg, _, overrides = from_argv(sys.argv[1:] if argv is None else argv, "test")
     cfg, model, task, state = _common.load_pretrained(cfg, overrides=overrides)
+
+    # this entry keeps the reference's preset-override semantics (its test
+    # yaml always pins the sampler, reference test.py:29-36 +
+    # config/test.yaml:17-21) — but surface a mismatch with the
+    # checkpoint's RECORDED sampler (e.g. a distilled student evaluated on
+    # the wrong grid) so silent quality loss is visible
+    from ..train import Checkpointer
+
+    stored_task = Checkpointer(cfg.pretrained_path).peek_config().get("task")
+    if stored_task is not None:
+        eff = (cfg.task.sampling_type, cfg.task.sampling_steps, cfg.task.w)
+        rec = (stored_task.sampling_type, stored_task.sampling_steps,
+               stored_task.w)
+        if eff != rec and not any(k.startswith("task.") for k in overrides):
+            print(f"note: evaluating with sampler {eff}; the checkpoint "
+                  f"recorded {rec} — pass task.sampling_type= / "
+                  f"task.sampling_steps= / task.w= to change",
+                  file=sys.stderr)
+
     run_dir = _common.make_run_dir(cfg, "test")
     metrics = run_test(cfg, model, task, state, artifacts_dir=run_dir)
     (run_dir / "test_metrics.json").write_text(json.dumps(metrics, indent=2))

@@ -201,6 +201,27 @@ def test_cli_distill_then_eval(maps_tree, tmp_path):
     ])
     assert 0.0 <= m["frame_f1"] <= 1.0
 
+    # serve adopts the distilled checkpoint's RECORDED sampler identity
+    # when no explicit task.* flags are given (cli/serve.py)
+    import diffroll_tpu.serve as serve_pkg
+    from diffroll_tpu.cli import serve as serve_cli
+
+    captured = {}
+
+    def fake_serve_forever(service, host="127.0.0.1", port=8077,
+                           info=None, ready=None):
+        captured["sampler"] = service.task.config.sampling_type
+        captured["steps"] = service.task.config.sampling_steps
+        captured["w"] = service.task.config.w
+
+    orig = serve_pkg.serve_forever
+    serve_pkg.serve_forever = fake_serve_forever
+    try:
+        serve_cli.main([f"pretrained_path={stage_ckpts[0]}"])
+    finally:
+        serve_pkg.serve_forever = orig
+    assert captured == {"sampler": "ddim_x0", "steps": 2, "w": 0.0}
+
 
 def test_cli_baseline_task(maps_tree, tmp_path):
     """The discriminative baseline recipe (reference task/baseline.py)
