@@ -164,14 +164,15 @@ def main(argv: Optional[List[str]] = None):
 
     stored_task = Checkpointer(cfg.pretrained_path).peek_config().get("task")
     if stored_task is not None:
-        eff = (cfg.task.sampling_type, cfg.task.sampling_steps, cfg.task.w)
-        rec = (stored_task.sampling_type, stored_task.sampling_steps,
-               stored_task.w)
+        # w routinely changes between train and eval (the reference's own
+        # flow), so compare only the sampler identity/grid
+        eff = (cfg.task.sampling_type, cfg.task.sampling_steps)
+        rec = (stored_task.sampling_type, stored_task.sampling_steps)
         if eff != rec and not any(k.startswith("task.") for k in overrides):
             print(f"note: evaluating with sampler {eff}; the checkpoint "
-                  f"recorded {rec} — pass task.sampling_type= / "
-                  f"task.sampling_steps= / task.w= to change",
-                  file=sys.stderr)
+                  f"recorded {rec} (a distilled student must run its own "
+                  f"grid) — pass task.sampling_type= / task.sampling_steps= "
+                  f"to change", file=sys.stderr)
 
     run_dir = _common.make_run_dir(cfg, "test")
     metrics = run_test(cfg, model, task, state, artifacts_dir=run_dir)
