@@ -24,11 +24,14 @@ def main(argv: Optional[List[str]] = None):
                                   "sampling")
     cfg, model, task, state = _common.load_pretrained(cfg, overrides=overrides)
 
-    # serve is self-contained: the checkpoint's RECORDED sampler identity
-    # wins over preset defaults (a distilled student, say, must run its
-    # own few-step unguided grid), while explicit task.* CLI keys still
-    # override. The reference-mirroring entries (test/sample) keep the
-    # reference's preset-override semantics instead.
+    # serve is self-contained: the checkpoint's RECORDED sampler IDENTITY
+    # and grid win over preset defaults (a distilled student must run its
+    # own few-step grid; its unguided ddim_x0 ignores w by construction),
+    # while explicit task.* keys — CLI or config=<yaml> — still override.
+    # w / frame_threshold stay with the serving preset: eval-time w is
+    # routinely tuned independently of training (reference test.yaml).
+    # The reference-mirroring entries (test/sample) keep the reference's
+    # preset-override semantics instead.
     from ..tasks import DiffusionTask
     from ..train import Checkpointer
 
@@ -37,8 +40,7 @@ def main(argv: Optional[List[str]] = None):
     if stored_task is not None and isinstance(task, DiffusionTask):
         adopted = {
             key: getattr(stored_task, key)
-            for key in ("sampling_type", "sampling_steps", "w",
-                        "frame_threshold")
+            for key in ("sampling_type", "sampling_steps")
             if f"task.{key}" not in (overrides or {})
         }
         if adopted:

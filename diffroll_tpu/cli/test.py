@@ -168,7 +168,8 @@ def main(argv: Optional[List[str]] = None):
         # flow), so compare only the sampler identity/grid
         eff = (cfg.task.sampling_type, cfg.task.sampling_steps)
         rec = (stored_task.sampling_type, stored_task.sampling_steps)
-        if eff != rec and not any(k.startswith("task.") for k in overrides):
+        pinned = {"task.sampling_type", "task.sampling_steps"} & set(overrides)
+        if eff != rec and not pinned:
             print(f"note: evaluating with sampler {eff}; the checkpoint "
                   f"recorded {rec} (a distilled student must run its own "
                   f"grid) — pass task.sampling_type= / task.sampling_steps= "

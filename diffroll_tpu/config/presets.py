@@ -161,4 +161,14 @@ def from_argv(
     positional, overrides = parse_argv(argv)
     name = positional[0] if positional and positional[0] in PRESETS else default
     rest = positional[1:] if positional and positional[0] in PRESETS else positional
-    return compose(name, dict(overrides)), rest, overrides
+    cfg = compose(name, dict(overrides))
+    # the returned overrides must reflect EVERY key the user explicitly
+    # pinned — including keys layered from a `config=<file>.yaml` — or the
+    # checkpoint loaders would clobber file-specified values with stored
+    # ones (CLI keys still win over file keys on conflict)
+    yaml_path = overrides.get("config")
+    if yaml_path is not None:
+        merged = load_yaml_overrides(yaml_path)
+        merged.update(overrides)
+        overrides = merged
+    return cfg, rest, overrides

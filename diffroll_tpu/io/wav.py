@@ -37,22 +37,7 @@ def read_wav(path: str | pathlib.Path, mono: bool = True) -> Tuple[np.ndarray, i
             ch = w.getnchannels()
             width = w.getsampwidth()
             raw = w.readframes(n)
-        if width == 2:
-            x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
-        elif width == 4:
-            x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
-        elif width == 3:
-            b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
-            x = (
-                (b[:, 0].astype(np.int32))
-                | (b[:, 1].astype(np.int32) << 8)
-                | (b[:, 2].astype(np.int32) << 16)
-            )
-            x = (x - ((x & 0x800000) << 1)).astype(np.float32) / 8388608.0
-        elif width == 1:
-            x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
-        else:
-            raise ValueError(f"unsupported sample width {width}")
+        x = _pcm_to_float(raw, width)
     except wave.Error:
         # float32 WAV (format 3) — stdlib wave rejects it; parse chunks directly
         x, sr, ch = _read_float_wav(path)
@@ -61,6 +46,25 @@ def read_wav(path: str | pathlib.Path, mono: bool = True) -> Tuple[np.ndarray, i
     if mono:
         x = x.mean(axis=0)
     return x, sr
+
+
+def _pcm_to_float(raw: bytes, width: int) -> np.ndarray:
+    """Interleaved PCM bytes -> float32 in [-1, 1] (8/16/24/32-bit)."""
+    if width == 2:
+        return np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    if width == 4:
+        return np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
+    if width == 3:
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        x = (
+            (b[:, 0].astype(np.int32))
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        return (x - ((x & 0x800000) << 1)).astype(np.float32) / 8388608.0
+    if width == 1:
+        return (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    raise ValueError(f"unsupported sample width {width}")
 
 
 def read_wav_bytes(data: bytes, mono: bool = True) -> Tuple[np.ndarray, int]:
@@ -77,15 +81,10 @@ def read_wav_bytes(data: bytes, mono: bool = True) -> Tuple[np.ndarray, int]:
                 ch = w.getnchannels()
                 width = w.getsampwidth()
                 raw = w.readframes(w.getnframes())
-            if width == 2:
-                x = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
-            elif width == 4:
-                x = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.0
-            elif width == 1:
-                x = (np.frombuffer(raw, np.uint8).astype(np.float32)
-                     - 128.0) / 128.0
-            else:
-                raise wave.Error(f"width {width} via file path")
+            try:
+                x = _pcm_to_float(raw, width)
+            except ValueError as e:
+                raise wave.Error(str(e))
             x = x.reshape(-1, ch).T
             if mono:
                 x = x.mean(axis=0)

@@ -85,6 +85,17 @@ def test_parse_argv_and_from_argv():
     assert rest == ["dual"]
 
 
+def test_from_argv_overrides_include_yaml_keys(tmp_path):
+    """Keys pinned via config=<file>.yaml count as explicit user overrides
+    (checkpoint loaders must not clobber them); CLI still beats YAML."""
+    y = tmp_path / "exp.yaml"
+    y.write_text("task:\n  w: 0.25\n  sampling_steps: 50\n")
+    cfg, _, ov = from_argv([f"config={y}", "task.w=0.75"], "spec_roll")
+    assert cfg.task.w == 0.75 and cfg.task.sampling_steps == 50
+    assert ov["task.w"] == "0.75"          # CLI wins in the dict too
+    assert "task.sampling_steps" in ov     # YAML key surfaces as explicit
+
+
 def test_asdict_flat_roundtrippable():
     flat = asdict_flat(compose("spec_roll"))
     assert flat["model.residual_channels"] == 512
@@ -212,7 +223,7 @@ def test_cli_distill_then_eval(maps_tree, tmp_path):
                            info=None, ready=None):
         captured["sampler"] = service.task.config.sampling_type
         captured["steps"] = service.task.config.sampling_steps
-        captured["w"] = service.task.config.w
+        service.close()
 
     orig = serve_pkg.serve_forever
     serve_pkg.serve_forever = fake_serve_forever
@@ -220,7 +231,7 @@ def test_cli_distill_then_eval(maps_tree, tmp_path):
         serve_cli.main([f"pretrained_path={stage_ckpts[0]}"])
     finally:
         serve_pkg.serve_forever = orig
-    assert captured == {"sampler": "ddim_x0", "steps": 2, "w": 0.0}
+    assert captured == {"sampler": "ddim_x0", "steps": 2}
 
 
 def test_cli_baseline_task(maps_tree, tmp_path):

@@ -273,9 +273,21 @@ def test_write_audio_rejects_unknown_format(tmp_path):
                     fmt="ogg")
 
 
+def _float32_wav_bytes(x, sr):
+    """Minimal IEEE-float (format tag 3) WAV container."""
+    import struct
+
+    data = x.astype("<f4").tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, sr, sr * 4, 4, 32)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def test_read_wav_bytes_matches_file(tmp_path):
     """In-memory decode (the serving hot path) matches the file parser for
-    16-bit WAV and survives the float32-WAV fallback."""
+    16-bit PCM, and the float32-WAV (format 3) payload takes the temp-file
+    fallback and still decodes."""
     import numpy as np
 
     from diffroll_tpu.io.wav import read_wav, read_wav_bytes, write_wav
@@ -288,3 +300,7 @@ def test_read_wav_bytes_matches_file(tmp_path):
     b, sr_b = read_wav_bytes(p.read_bytes(), mono=True)
     assert sr_a == sr_b == 16000
     np.testing.assert_array_equal(a, b)
+
+    f, sr_f = read_wav_bytes(_float32_wav_bytes(x, 16000), mono=True)
+    assert sr_f == 16000
+    np.testing.assert_allclose(f, x, atol=1e-7)
