@@ -22,6 +22,19 @@ from . import _common
 def main(argv: Optional[List[str]] = None):
     cfg, _, overrides = from_argv(sys.argv[1:] if argv is None else argv,
                                   "sampling")
+
+    if cfg.serve.compile_cache_dir:
+        # persistent XLA cache: restarts reload the sampler executable in
+        # seconds instead of recompiling for minutes
+        import os
+
+        import jax
+
+        path = os.path.expanduser(cfg.serve.compile_cache_dir)
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
     cfg, model, task, state = _common.load_pretrained(cfg, overrides=overrides)
 
     # serve is self-contained: the checkpoint's RECORDED sampler IDENTITY

@@ -100,6 +100,10 @@ class ServeConfig:
     max_wait_ms: float = 25.0     # micro-batching window after first job
     overlap_frames: int = 32      # window overlap for stitching
     max_body_mb: float = 64.0     # request-body cap (HTTP 413 above)
+    # persistent XLA compilation cache: the full-size sampler compile can
+    # take 5-13 min over a device tunnel; a warm restart with the cache
+    # reloads it in seconds. "" disables.
+    compile_cache_dir: str = "~/.cache/diffroll_tpu/xla"
 
     def replace(self, **kw) -> "ServeConfig":
         return dataclasses.replace(self, **kw)
