@@ -32,6 +32,21 @@ def _dispatch(argv):
 
             jax.config.update("jax_platforms", tok.split("=", 1)[1])
             argv.remove(tok)
+        elif tok.startswith("compile_cache="):
+            # persistent XLA compilation cache for ANY entry (compiles over
+            # a device tunnel take minutes; warm reruns reload in seconds).
+            # serve enables its own via serve.compile_cache_dir.
+            import os
+
+            import jax
+
+            path = os.path.expanduser(tok.split("=", 1)[1])
+            if path:
+                os.makedirs(path, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", path)
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 10)
+            argv.remove(tok)
 
     from .cli import distill, infer, sample, serve, sweep, test, train, transcribe
 
