@@ -25,6 +25,6 @@ HTTP layer (stdlib ThreadingHTTPServer):
   GET  /healthz      liveness + model/config info
 """
 
-from .service import TranscriptionService, serve_forever
+from .service import ServiceOverloaded, TranscriptionService, serve_forever
 
-__all__ = ["TranscriptionService", "serve_forever"]
+__all__ = ["TranscriptionService", "ServiceOverloaded", "serve_forever"]

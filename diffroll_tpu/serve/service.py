@@ -37,11 +37,25 @@ class _Request:
     rolls: List[Optional[np.ndarray]] = field(default_factory=list)
     done: threading.Event = field(default_factory=threading.Event)
     error: Optional[BaseException] = None
+    # set when the caller gave up (timeout) or enqueuing failed midway;
+    # the dispatcher drops still-queued windows of abandoned requests so
+    # an overloaded backlog drains instead of burning the chip on work
+    # nobody is waiting for
+    abandoned: bool = False
+
+    @property
+    def dead(self) -> bool:
+        return self.abandoned or self.done.is_set()
 
     def deliver(self, index: int, roll: np.ndarray):
         self.rolls[index] = roll
         if all(r is not None for r in self.rolls):
             self.done.set()
+
+
+class ServiceOverloaded(RuntimeError):
+    """Raised when the window queue is full — callers should back off
+    (the HTTP front maps this to 503)."""
 
 
 class TranscriptionService:
@@ -50,7 +64,7 @@ class TranscriptionService:
     def __init__(self, task, params, *, max_batch: int = 8,
                  max_wait_ms: float = 25.0, overlap_frames: int = 32,
                  frame_threshold: float = 0.5, seed: int = 0, mesh=None,
-                 max_body_mb: float = 64.0):
+                 max_body_mb: float = 64.0, max_queued_windows: int = 256):
         self.task = task
         self.params = params
         self.mesh = mesh
@@ -68,7 +82,12 @@ class TranscriptionService:
         self.overlap_frames = overlap_frames
         self.frame_threshold = frame_threshold
         self.max_body_bytes = int(max_body_mb * 1024 * 1024)
-        self._queue: "queue.Queue[_WindowJob]" = queue.Queue()
+        # bounded: the only other backpressure is callers parked in
+        # done.wait(), and ThreadingHTTPServer spawns a thread per
+        # connection — an unbounded queue lets concurrent large requests
+        # grow host memory without limit on this single-CPU host
+        self._queue: "queue.Queue[_WindowJob]" = queue.Queue(
+            maxsize=max(max_queued_windows, max_batch))
         self._key = jax.random.key(seed)
         self._key_lock = threading.Lock()
         # the service must NOT donate x_T: the same compiled program is
@@ -117,8 +136,16 @@ class TranscriptionService:
                        overlap_frames=self.overlap_frames,
                        rolls=[None] * len(windows))
         for i, wav in enumerate(windows):
-            self._queue.put(_WindowJob(wav=wav, request=req, index=i))
+            try:
+                self._queue.put_nowait(_WindowJob(wav=wav, request=req,
+                                                  index=i))
+            except queue.Full:
+                req.abandoned = True  # dispatcher drops the enqueued part
+                raise ServiceOverloaded(
+                    f"window queue full ({self._queue.maxsize} in flight); "
+                    "retry later")
         if not req.done.wait(timeout):
+            req.abandoned = True  # stop the dispatcher working a dead request
             raise TimeoutError("transcription timed out")
         if req.error is not None:
             raise req.error
@@ -155,6 +182,8 @@ class TranscriptionService:
                 first = self._queue.get(timeout=0.1)
             except queue.Empty:
                 continue
+            if first.request.dead:
+                continue
             jobs = [first]
             deadline = time.monotonic() + self.max_wait_s
             while len(jobs) < self.max_batch:
@@ -162,9 +191,15 @@ class TranscriptionService:
                 if remaining <= 0:
                     break
                 try:
-                    jobs.append(self._queue.get(timeout=remaining))
+                    job = self._queue.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if not job.request.dead:
+                    jobs.append(job)
+            # re-check: a caller may have timed out while the batch filled
+            jobs = [j for j in jobs if not j.request.dead]
+            if not jobs:
+                continue
             try:
                 self._run_batch(jobs)
             except BaseException as e:  # surface to every waiting request
@@ -263,6 +298,14 @@ def _make_handler(service: TranscriptionService, info: dict):
                     "notes": notes,
                 }
                 self._send(200, json.dumps(payload).encode())
+            except ServiceOverloaded as e:
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             except TimeoutError as e:
                 self._send(504, json.dumps({"error": str(e)}).encode())
             except Exception as e:  # must not kill the server

@@ -14,7 +14,8 @@ import jax
 
 from diffroll_tpu import models
 from diffroll_tpu.io.wav import write_wav
-from diffroll_tpu.serve import TranscriptionService, serve_forever
+from diffroll_tpu.serve import (ServiceOverloaded, TranscriptionService,
+                                serve_forever)
 from diffroll_tpu.serve.service import _make_handler
 from diffroll_tpu.tasks import DiffusionTask, TaskConfig
 
@@ -132,6 +133,66 @@ def test_warmup_excluded_from_stats():
     svc.transcribe(np.zeros(SEQ, np.float32))
     assert svc.stats["requests"] == 1 and svc.stats["windows"] == 1
     svc.close()
+
+
+def test_overload_backpressure_and_abandoned_requests():
+    """A full window queue rejects with ServiceOverloaded, and windows of
+    dead requests (timed-out or rejected mid-enqueue) are dropped by the
+    dispatcher instead of burning sampler time."""
+    model = models.build("ClassifierFreeDiffRoll", residual_channels=16,
+                         residual_layers=2, frames=FRAMES, timesteps=4)
+    params = model.init(jax.random.key(0))
+    task = DiffusionTask(model, TaskConfig(timesteps=4, w=0.5))
+    svc = TranscriptionService(task, params, max_batch=2, max_wait_ms=5,
+                               overlap_frames=4, max_queued_windows=2)
+    svc.warmup()
+    # pause the dispatcher so the queue can fill
+    svc._stop.set()
+    svc._worker.join(timeout=10)
+    # 1 queued window + an immediate timeout -> dead request in the queue
+    with pytest.raises(TimeoutError):
+        svc.transcribe(np.zeros(SEQ, np.float32), timeout=0.05)
+    # 4-window request can only enqueue 1 more (maxsize 2) -> 503-class
+    with pytest.raises(ServiceOverloaded):
+        svc.transcribe(np.zeros(SEQ * 4, np.float32))
+    assert svc._queue.qsize() == 2  # both enqueued windows now dead
+    # resume dispatching: dead windows must be skipped, live work served
+    svc._stop.clear()
+    svc._worker = threading.Thread(target=svc._dispatch_loop, daemon=True)
+    svc._worker.start()
+    roll = svc.transcribe(np.zeros(SEQ, np.float32))
+    assert roll.shape == (FRAMES, 88)
+    # only the live window went through the sampler
+    assert svc.stats["windows"] == 1, svc.stats
+    svc.close()
+
+
+def test_http_overload_maps_to_503(service, tmp_path):
+    ready = threading.Event()
+    t = threading.Thread(target=serve_forever, args=(service, "127.0.0.1", 0),
+                         kwargs={"ready": ready}, daemon=True)
+    t.start()
+    assert ready.wait(10)
+    server = ready.server  # type: ignore[attr-defined]
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    orig = service.transcribe
+    service.transcribe = lambda *a, **k: (_ for _ in ()).throw(
+        ServiceOverloaded("window queue full"))
+    try:
+        wav_path = tmp_path / "tiny.wav"
+        write_wav(wav_path, np.zeros(HOP * 4, np.float32), SR)
+        req = urllib.request.Request(f"{base}/transcribe",
+                                     data=wav_path.read_bytes(),
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert e.headers.get("Retry-After") == "1"
+    finally:
+        service.transcribe = orig
+        server.shutdown()
 
 
 def test_http_body_cap_and_fault_classes(service, tmp_path):
