@@ -130,9 +130,30 @@ class DistillConfig:
     def replace(self, **kw) -> "DistillConfig":
         return dataclasses.replace(self, **kw)
 
+    def __post_init__(self):
+        # the documented guarantee (later-stage teachers queried only at
+        # timesteps they were trained on) needs every consecutive pair to
+        # satisfy n_i == 2*n_{i+1} - 1, i.e. start_steps = 2^k + 1 for the
+        # requested stage count — warn loudly when the grids fail to nest
+        steps = self.stage_steps()
+        broken = [(a, b) for a, b in zip(steps, steps[1:]) if a != 2 * b - 1]
+        if broken:
+            import warnings
+
+            warnings.warn(
+                f"distill stage grids do not nest: start_steps="
+                f"{self.start_steps} gives stages {steps}, but "
+                f"{broken[0][1]}-step grid is not every other point of the "
+                f"{broken[0][0]}-step grid. Later-stage teachers will be "
+                f"queried at timesteps they were never trained on; use "
+                f"start_steps = 2^k + 1 (e.g. 65, 33, 17).",
+                stacklevel=2,
+            )
+
     def stage_steps(self):
         """Step counts per stage, halving from start_steps: n -> (n+1)//2.
-        start_steps = 2^k+1 keeps every grid exactly nested."""
+        start_steps = 2^k+1 keeps every grid exactly nested (validated in
+        __post_init__ — non-nesting configs warn)."""
         out, n = [], self.start_steps
         for _ in range(self.stages):
             out.append(n)

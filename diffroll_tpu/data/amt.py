@@ -14,9 +14,12 @@ Design notes (host-side, pure numpy):
     (`preload=True` eagerly, lazily otherwise);
   * labels come from the paired MIDI (or MAPS .txt) file, rasterized on
     the fly for the sampled window only;
-  * train mode samples a random `sequence_length` window per __getitem__
-    hashed statelessly from (seed, clip, per-clip draw count) so they
-    reproduce across loader worker counts (reference datasets pass seed=42);
+  * train mode samples a random `sequence_length` window per fetch,
+    hashed statelessly from (seed, clip, epoch) — the DataLoader passes
+    the epoch via `getitem_at`, so windows reproduce across worker
+    counts, thread interleavings and concurrent iterators (reference
+    datasets pass seed=42; plain `ds[i]` falls back to a per-clip
+    draw counter);
     eval mode (`sequence_length=None` or `deterministic=True`) yields the
     clip head, matching the reference's fixed eval segments.
 
@@ -145,22 +148,28 @@ class PairedAudioMidi:
             self._windows = wins
         return self._windows
 
-    def _draw(self, clip_idx: int) -> int:
-        """Stateless-per-draw random integer for window starts: hashed from
-        (seed, clip, per-clip draw count) so results do not depend on the
-        thread interleaving of the parallel loader — a shared stateful
-        RandomState made training windows irreproducible across worker
-        counts (the reference's torch workers had the same property)."""
+    def _hash_draw(self, clip_idx: int, k: int) -> int:
+        """Stateless random integer for window starts: splitmix64 over the
+        packed (seed, clip, draw-index) key — fully deterministic given k."""
         clip_idx = int(clip_idx)  # numpy ints overflow the 64-bit mixing
-        with self._draw_lock:
-            k = self._draw_counts.get(clip_idx, 0)
-            self._draw_counts[clip_idx] = k + 1
-        # splitmix64 finalizer over the packed key
         z = (self._seed * 0x9E3779B97F4A7C15
-             + clip_idx * 0xBF58476D1CE4E5B9 + k) & 0xFFFFFFFFFFFFFFFF
+             + clip_idx * 0xBF58476D1CE4E5B9 + int(k)) & 0xFFFFFFFFFFFFFFFF
         z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
         z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
         return int((z ^ (z >> 31)) & 0x7FFFFFFF)
+
+    def _draw(self, clip_idx: int) -> int:
+        """Draw index from a per-clip counter — the fallback for plain
+        `ds[i]` access. Within one loader epoch each clip is fetched once,
+        so the counter equals the epoch ordinal; but when the SAME dataset
+        object feeds two concurrent iterators, which fetch gets which count
+        is thread-scheduling dependent. The DataLoader therefore passes the
+        epoch explicitly via `getitem_at` and never takes this path."""
+        clip_idx = int(clip_idx)
+        with self._draw_lock:
+            k = self._draw_counts.get(clip_idx, 0)
+            self._draw_counts[clip_idx] = k + 1
+        return self._hash_draw(clip_idx, k)
 
     def _audio(self, idx: int) -> np.ndarray:
         with self._cache_lock:
@@ -204,13 +213,24 @@ class PairedAudioMidi:
         return self._note_arrays_cache[idx]
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        return self.getitem_at(idx, None)
+
+    def getitem_at(self, idx: int,
+                   epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Fetch item `idx` with an explicit draw context: when `epoch` is
+        given, the random train window is hashed statelessly from
+        (seed, clip, epoch) — reproducible across worker counts, thread
+        interleavings, AND concurrent iterators over the same dataset
+        object (the DataLoader protocol). `epoch=None` falls back to the
+        per-clip counter (plain `ds[i]` access)."""
         if self.overlap:
             clip_idx, start = self._window_index()[idx]
             return self._window(clip_idx, start, with_meta=True)
-        return self._window(idx, None)
+        return self._window(idx, None, epoch=epoch)
 
     def _window(self, clip_idx: int, start: Optional[int],
-                with_meta: bool = False) -> Dict[str, np.ndarray]:
+                with_meta: bool = False,
+                epoch: Optional[int] = None) -> Dict[str, np.ndarray]:
         """One sequence_length window of clip `clip_idx`. `start=None`
         picks it (random hop-aligned in train, 0 when deterministic)."""
         audio = self._audio(clip_idx)
@@ -225,7 +245,9 @@ class PairedAudioMidi:
             else:
                 # align segment starts to the hop grid so roll frames line up
                 max_start = (len(audio) - seq) // self.hop_length
-                start = (self._draw(clip_idx) % (max_start + 1)) * self.hop_length
+                draw = (self._hash_draw(clip_idx, epoch) if epoch is not None
+                        else self._draw(clip_idx))
+                start = (draw % (max_start + 1)) * self.hop_length
         audio_seg = audio[start : start + seq]
         if len(audio_seg) < seq:
             audio_seg = np.pad(audio_seg, (0, seq - len(audio_seg)))

@@ -57,3 +57,13 @@ class DoubleDataset:
 
     def __getitem__(self, idx: int):
         return self.ds1[idx], self.ds2[idx]
+
+    def getitem_at(self, idx: int, epoch=None):
+        """Forward the DataLoader's explicit epoch so both children keep
+        deterministic window draws (see amt.PairedAudioMidi.getitem_at)."""
+        def fetch(ds):
+            if hasattr(ds, "getitem_at"):
+                return ds.getitem_at(idx, epoch)
+            return ds[idx]
+
+        return fetch(self.ds1), fetch(self.ds2)

@@ -121,13 +121,19 @@ class DataLoader:
             self._executor = cf.ThreadPoolExecutor(self.num_workers)
         return self._executor
 
-    def _make_batch(self, b: np.ndarray) -> Any:
+    def _make_batch(self, b: np.ndarray, epoch: int) -> Any:
         # runs inside a worker: fetch + collate so the consumer thread
-        # only unblocks on a finished batch
+        # only unblocks on a finished batch. Datasets exposing
+        # `getitem_at(idx, epoch)` get the epoch explicitly, making random
+        # train windows a pure function of (seed, clip, epoch) — no shared
+        # draw counter, so even concurrent iterators stay reproducible.
+        if hasattr(self.dataset, "getitem_at"):
+            return collate([self.dataset.getitem_at(j, epoch) for j in b])
         return collate([self.dataset[j] for j in b])
 
     def __iter__(self) -> Iterator[Any]:
-        idx = self._indices_for_epoch(self._epoch)
+        epoch = self._epoch
+        idx = self._indices_for_epoch(epoch)
         self._epoch += 1
         batches: List[np.ndarray] = [
             idx[i : i + self.batch_size]
@@ -147,12 +153,12 @@ class DataLoader:
         it = iter(batches)
         try:
             for b in itertools.islice(it, depth):
-                pending.append(pool.submit(self._make_batch, b))
+                pending.append(pool.submit(self._make_batch, b, epoch))
             while pending:
                 fut = pending.popleft()
                 nb = next(it, None)
                 if nb is not None:
-                    pending.append(pool.submit(self._make_batch, nb))
+                    pending.append(pool.submit(self._make_batch, nb, epoch))
                 yield fut.result()
         finally:
             # abandoned mid-epoch (break / exception / GeneratorExit):

@@ -110,10 +110,12 @@ class DiffusionTask:
         )
 
     def _forward_train(self, params, x_t, t, cond, uncond_mask):
-        """The training-loss forward. Routes through the custom-VJP fused
-        stack when `fused_train` resolves (auto: TPU + a model family the
-        fused op covers); otherwise the flax per-layer path. The fused
-        route applies the 'fixed' unconditional substitution (spec := -1
+        """The training-loss forward. `fused_train` is OPT-IN (default
+        None = off, the flax per-layer path): the custom-VJP fused stack
+        wins in isolation but measured slower embedded in the full step —
+        see the TaskConfig.fused_train comment. When set (and the model
+        family supports the fused op), the fused route applies the
+        'fixed' unconditional substitution (spec := -1
         on dropped rows, reference model/diffwave.py:656-660, 689-693)
         to the raw conditioner — identical to
         DiffRollNet.cond_projections' handling."""

@@ -382,3 +382,55 @@ def test_loader_abandoned_epoch_stays_deterministic(maps_tree):
     assert len(a) == len(b) > 0
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+def test_shared_dataset_concurrent_iterators_deterministic(maps_tree):
+    """Two loaders sharing ONE dataset object, iterated concurrently from
+    two threads, must each see the same windows as a loader over a fresh
+    dataset: the loader passes the epoch explicitly (getitem_at), so
+    window draws are a pure function of (seed, clip, epoch) — no shared
+    counter assigned in thread-scheduling order."""
+    import threading
+
+    def reference_batches():
+        ds = MAPS(str(maps_tree), groups="train", sequence_length=SR)
+        loader = DataLoader(ds, batch_size=2, shuffle=True, seed=7,
+                            num_workers=2)
+        return [b["frame"] for b in loader]
+
+    ref = reference_batches()
+
+    shared = MAPS(str(maps_tree), groups="train", sequence_length=SR)
+    loaders = [DataLoader(shared, batch_size=2, shuffle=True, seed=7,
+                          num_workers=2) for _ in range(2)]
+    results = [None, None]
+
+    def run(i):
+        results[i] = [b["frame"] for b in loaders[i]]
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for got in results:
+        assert len(got) == len(ref)
+        for x, y in zip(got, ref):
+            np.testing.assert_array_equal(x, y)
+
+
+def test_double_dataset_epoch_forwarding(maps_tree):
+    """DoubleDataset forwards the loader epoch to both children, so the
+    dual-dataset recipe keeps deterministic windows too."""
+    ds1 = MAPS(str(maps_tree), groups="train", sequence_length=SR)
+    ds2 = MAPS(str(maps_tree), groups="train", sequence_length=SR)
+    a1, a2 = ds1.getitem_at(0, epoch=3), ds2.getitem_at(0, epoch=3)
+    both = DoubleDataset(
+        MAPS(str(maps_tree), groups="train", sequence_length=SR),
+        MAPS(str(maps_tree), groups="train", sequence_length=SR),
+    ).getitem_at(0, epoch=3)
+    np.testing.assert_array_equal(both[0]["frame"], a1["frame"])
+    np.testing.assert_array_equal(both[1]["frame"], a2["frame"])
+    # a different epoch draws a different window for a long enough clip
+    b1 = ds1.getitem_at(0, epoch=4)
+    assert not np.array_equal(a1["audio"], b1["audio"])
