@@ -20,8 +20,17 @@ single JSON line:
                                   timed INSIDE a lax.scan (the chip sits
                                   behind a ~25 ms dispatch tunnel, so naive
                                   per-step timing measures the tunnel)
-  * train_mfu_vs_bf16_peak      — XLA-counted step FLOPs / (step time x
-                                  197e12), the v5e bf16 peak
+  * train_mfu_{bf16,f32}_step_vs_bf16_peak — XLA-counted step FLOPs /
+                                  (that step's time x 197e12, the v5e
+                                  bf16 peak), labeled by step dtype
+  * e2e_scan_latency_s / megakernel_active — the scan path measured with
+                                  the megakernel forced off, plus whether
+                                  the headline actually used the kernel
+  * b1_split_*                  — B=1 bottleneck split by sampler surgery
+                                  (CFG vs single-stream vs deterministic)
+  * serve_{dense,distilled5}_{p50_s,p99_s,audio_s_per_s} — in-process
+                                  TranscriptionService under concurrent
+                                  synthetic load (saturation soak)
   * host_pipeline_clips_per_sec — DataLoader throughput over an on-disk
                                   synthetic MAPS tree (decode+rasterize),
                                   to compare against train_clips_per_sec
@@ -58,23 +67,48 @@ def bench_sampling(extras):
     model = models.build("ClassifierFreeDiffRoll")
     frames, pitches = model.config.frames, model.config.pitches
 
-    def e2e(batch, steps, sampling_type=None, w=0.5):
+    def make_task(steps, sampling_type=None, w=0.5, megakernel=None):
         if sampling_type is None:
             sampling_type = "cfdg_ddpm_x0" if steps is None else "cfdg_ddim_x0"
-        task = DiffusionTask(model, TaskConfig(
+        return DiffusionTask(model, TaskConfig(
             timesteps=200, w=w, sampling_type=sampling_type,
-            sampling_steps=steps))
-        params = model.init(jax.random.key(0))
+            sampling_steps=steps, use_megakernel=megakernel))
+
+    params = model.init(jax.random.key(0))
+
+    def e2e(batch, steps, sampling_type=None, w=0.5, megakernel=None):
+        task = make_task(steps, sampling_type, w, megakernel)
         wav = jax.random.normal(jax.random.key(1), (batch, frames * 512))
         x_T = jax.random.normal(jax.random.key(2), (batch, frames, pitches))
         run = task.sample_jit(donate=False)
         return timeit(lambda: run(params, x_T, jax.random.key(3), wav))
 
+    # the headline auto-selects the megakernel; record that it actually
+    # did (a silently-failed supports_fused gate would otherwise hide a
+    # fallback to the scan path in this very number)
+    extras["megakernel_active"] = bool(make_task(None)._megakernel_applies())
     dt = e2e(1, None)                       # headline: 200-step CFG DDPM
     extras["ddpm_steps_per_sec"] = round(200.0 / dt, 1)
+    # scan path measured alongside (megakernel force-off) so a regression
+    # in EITHER path is visible in the same bench line
+    extras["e2e_scan_latency_s"] = round(e2e(1, None, megakernel=False), 4)
     extras["ddim50_latency_s"] = round(e2e(1, 50), 4)
     dt16 = e2e(16, None)
     extras["serving_audio_s_per_s_b16"] = round(16 * frames * 512 / 16000 / dt16, 1)
+
+    # B=1 bottleneck split by sampler-family surgery at the same 200-step
+    # grid: full CFG (2 denoiser streams + noise) vs single-stream DDPM
+    # (1 stream + noise) vs deterministic DDIM (1 stream, megakernel skips
+    # the noise stream entirely) — the deltas localize the guidance branch
+    # and the noise generation/streaming cost
+    b1_full = dt
+    b1_uncond = e2e(1, 200, sampling_type="ddpm_x0", w=0.0)
+    b1_det = e2e(1, 200, sampling_type="ddim_x0", w=0.0)
+    extras["b1_split_cfg_200step_s"] = round(b1_full, 4)
+    extras["b1_split_single_stream_200step_s"] = round(b1_uncond, 4)
+    extras["b1_split_deterministic_200step_s"] = round(b1_det, 4)
+    extras["b1_split_guidance_cost_s"] = round(b1_full - b1_uncond, 4)
+    extras["b1_split_noise_cost_s"] = round(b1_uncond - b1_det, 4)
 
     # the distilled-sampler serving path (train/distill.py): few-step
     # deterministic grid, guidance folded in => ONE forward per step.
@@ -98,6 +132,8 @@ def bench_train(extras):
     B, K = 16, 20
 
     def step_time(dtype, fused_train=None):
+        from diffroll_tpu.train.state import AdamTx, fused_adam_apply
+
         model = models.build("ClassifierFreeDiffRoll", dtype=dtype)
         task = DiffusionTask(model, TaskConfig(timesteps=200,
                                                fused_train=fused_train))
@@ -105,32 +141,46 @@ def bench_train(extras):
         tx = make_optimizer(5e-5)
         state = TrainState.create(params, tx)
         frames = model.config.frames
-        batch = {
-            "frame": (jax.random.uniform(jax.random.key(1), (B, frames, 88))
+        # a DISTINCT batch per scan step, streamed through scan xs: with a
+        # single closed-over batch XLA hoists the loop-invariant mel
+        # front-end (and q_sample inputs) out of the scan, understating
+        # the real step cost by the full per-step mel (~10 ms on the FFT
+        # path) — real training feeds a fresh batch every step
+        batches = {
+            "frame": (jax.random.uniform(jax.random.key(1),
+                                         (K, B, frames, 88))
                       > 0.9).astype(jnp.float32),
-            "audio": jax.random.normal(jax.random.key(2), (B, frames * 512)),
+            "audio": jax.random.normal(jax.random.key(2),
+                                       (K, B, frames * 512)),
         }
 
-        def inner(state, key):
+        def inner(state, xs):
+            batch, key = xs
             (_, (losses, _)), grads = jax.value_and_grad(
                 lambda p: task.loss_fn(p, batch, key, True), has_aux=True
             )(state.params)
-            updates, opt = tx.update(grads, state.opt_state, state.params)
-            return TrainState(step=state.step + 1,
-                              params=optax.apply_updates(state.params, updates),
+            if isinstance(tx, AdamTx):
+                new_p, opt = fused_adam_apply(tx, state.params, grads,
+                                              state.opt_state)
+            else:
+                updates, opt = tx.update(grads, state.opt_state, state.params)
+                new_p = optax.apply_updates(state.params, updates)
+            return TrainState(step=state.step + 1, params=new_p,
                               opt_state=opt), losses["diffusion_loss"]
 
         # K chained steps inside ONE dispatch: amortizes the tunnel RTT
         @jax.jit
         def many(state, key):
-            return jax.lax.scan(inner, state, jax.random.split(key, K))
+            return jax.lax.scan(inner, state,
+                                (batches, jax.random.split(key, K)))
 
         dt = timeit(lambda: many(state, jax.random.key(3)), iters=3) / K
 
         flops = None
         try:
-            cost = jax.jit(inner).lower(state, jax.random.key(0)).compile(
-            ).cost_analysis()
+            one = {k: v[0] for k, v in batches.items()}
+            cost = jax.jit(inner).lower(
+                state, (one, jax.random.key(0))).compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
             flops = float(cost.get("flops", 0.0)) or None
@@ -139,18 +189,84 @@ def bench_train(extras):
         return dt, flops
 
     # default path (per-layer flax stack through XLA autodiff)
-    dt32, flops = step_time("float32")
+    dt32, flops32 = step_time("float32")
     extras["train_step_ms_b16"] = round(dt32 * 1e3, 2)
-    extras["train_clips_per_sec"] = round(B / dt32, 1)
-    if flops:
-        extras["train_mfu_vs_bf16_peak"] = round(
-            flops / (dt32 * BF16_PEAK_FLOPS), 3)
-    dt16, _ = step_time("bfloat16")
+    dt16, flops16 = step_time("bfloat16")
     extras["train_step_bf16_ms_b16"] = round(dt16 * 1e3, 2)
+    extras["train_clips_per_sec"] = round(B / dt16, 1)
+    # MFU labeled by the dtype of the step being divided (r2 mixed an f32
+    # step time with the bf16 peak): each is XLA-counted step FLOPs over
+    # (that step's time x the 197 TFLOP/s v5e bf16 peak)
+    if flops16:
+        extras["train_mfu_bf16_step_vs_bf16_peak"] = round(
+            flops16 / (dt16 * BF16_PEAK_FLOPS), 3)
+    if flops32:
+        extras["train_mfu_f32_step_vs_bf16_peak"] = round(
+            flops32 / (dt32 * BF16_PEAK_FLOPS), 3)
     # the opt-in custom-VJP fused stack (task.fused_train=true), tracked so
     # regressions/improvements in the training kernels stay visible
     dt_fused, _ = step_time("float32", fused_train=True)
     extras["train_step_fused_ms_b16"] = round(dt_fused * 1e3, 2)
+
+
+def bench_serve(extras):
+    """Driver-captured serving metrics (moves the soak claims out of
+    README prose): the in-process TranscriptionService under concurrent
+    synthetic load, for the dense CFG sampler and the distilled few-step
+    path. Emits p50/p99 request latency and audio-seconds-per-second at
+    saturation. Runs inside this one bench process — the single-user TPU
+    constraint (only one job may touch the chip) is respected."""
+    import threading
+
+    from diffroll_tpu import models
+    from diffroll_tpu.serve import TranscriptionService
+    from diffroll_tpu.tasks import DiffusionTask, TaskConfig
+
+    model = models.build("ClassifierFreeDiffRoll")
+    params = model.init(jax.random.key(0))
+    seq = model.config.frames * model.config.mel.hop_length
+    rng = np.random.RandomState(0)
+    clip = rng.randn(seq).astype(np.float32) * 0.1
+
+    def soak(tag, task, n_requests, n_threads, max_batch):
+        svc = TranscriptionService(task, params, max_batch=max_batch,
+                                   max_wait_ms=25.0, overlap_frames=32)
+        svc.warmup()
+        latencies = []
+        lock = threading.Lock()
+        it = iter(range(n_requests))
+
+        def worker():
+            while True:
+                with lock:
+                    if next(it, None) is None:
+                        return
+                t0 = time.perf_counter()
+                svc.transcribe(clip)
+                dt = time.perf_counter() - t0
+                with lock:
+                    latencies.append(dt)
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=worker) for _ in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        svc.close()
+        lat = np.sort(latencies)
+        extras[f"serve_{tag}_p50_s"] = round(float(np.percentile(lat, 50)), 3)
+        extras[f"serve_{tag}_p99_s"] = round(float(np.percentile(lat, 99)), 3)
+        extras[f"serve_{tag}_audio_s_per_s"] = round(
+            n_requests * seq / 16000 / wall, 1)
+
+    dense = DiffusionTask(model, TaskConfig(
+        timesteps=200, w=0.5, sampling_type="cfdg_ddpm_x0"))
+    soak("dense", dense, n_requests=32, n_threads=16, max_batch=8)
+    distilled = DiffusionTask(model, TaskConfig(
+        timesteps=200, w=0.0, sampling_type="ddim_x0", sampling_steps=5))
+    soak("distilled5", distilled, n_requests=128, n_threads=16, max_batch=16)
 
 
 def bench_host_pipeline(extras):
@@ -196,6 +312,7 @@ def main():
     extras = {}
     dt = bench_sampling(extras)
     bench_train(extras)
+    bench_serve(extras)
     bench_host_pipeline(extras)
 
     budget_s = 1.0  # north-star: < 1 s per 20.48 s clip

@@ -83,6 +83,12 @@ class MelConfig:
     power: float = 2.0
     win_length: Optional[int] = None
     method: str = "fft"  # 'fft' | 'matmul'
+    # matmul-path MXU precision: 'highest' (6-pass f32, parity with the
+    # FFT path), 'high' (3-pass), 'default' (single-pass bf16 — the fast
+    # train-path choice: the conditioner is consumed by bf16 convs anyway,
+    # so the ~1e-2 relative power error vanishes below bf16 resolution
+    # after log + min-max; see tests/test_mel.py::test_matmul_bf16_close)
+    precision: str = "highest"
 
     @property
     def n_freqs(self) -> int:
@@ -145,18 +151,22 @@ class MelSpectrogram:
         cfg = self.config
         frames = self._frame(waveform.astype(jnp.float32))
         if cfg.method == "matmul":
-            # HIGHEST precision: the 2048-term DFT dots cancel heavily for
-            # broadband input; default (bf16-ish on TPU) precision is not
-            # enough for parity with the FFT path.
+            # precision='highest' (6-pass f32) gives parity with the FFT
+            # path — the 2048-term DFT dots cancel heavily for broadband
+            # input. 'default' (single-pass bf16) is ~6x cheaper on the MXU
+            # and adequate whenever the consumer is itself bf16 (training).
             import jax
 
+            prec = {"highest": jax.lax.Precision.HIGHEST,
+                    "high": jax.lax.Precision.HIGH,
+                    "default": jax.lax.Precision.DEFAULT}[cfg.precision]
             re = jnp.einsum(
                 "btn,nf->btf", frames, jnp.asarray(self._cos),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
             im = jnp.einsum(
                 "btn,nf->btf", frames, jnp.asarray(self._sin),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
         else:
             frames = frames * jnp.asarray(self._window)

@@ -36,12 +36,20 @@ def make_train_step(
     replicate the batch; without one, it is a plain single-device jit.
     """
 
+    from .state import AdamTx, fused_adam_apply
+
     def step(state: TrainState, batch: Any, key: jax.Array):
         (_, (losses, _)), grads = jax.value_and_grad(
             lambda p: loss_fn(p, batch, key, True), has_aux=True
         )(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        if isinstance(tx, AdamTx):
+            # fused p/mu/nu update — no materialized updates tree (state.py)
+            params, opt_state = fused_adam_apply(
+                tx, state.params, grads, state.opt_state)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
         return (
             TrainState(step=state.step + 1, params=params, opt_state=opt_state),
             losses,

@@ -131,3 +131,57 @@ def test_trim_frames():
     r, s = trim_frames(roll, spec)
     assert r.shape == (2, 640, 88)
     assert s.shape == (2, 640, 229)
+
+
+def test_matmul_bf16_close():
+    """The single-pass (bf16-on-MXU) matmul-DFT mel — the bf16 TRAIN-path
+    front-end (models/base.py switches to it for bf16 models) — stays
+    within ~bf16 resolution of the f32 FFT path after log + min-max
+    normalize, i.e. below what the downstream bf16 convs can even see.
+    CPU's Precision.DEFAULT is f32, so bf16 input rounding is emulated."""
+    import jax.numpy as jnp
+
+    from diffroll_tpu.dsp.mel import MelConfig, MelSpectrogram, log_mel
+    from diffroll_tpu.dsp.normalize import min_max_normalize
+
+    rng = np.random.RandomState(0)
+    wav = (rng.randn(2, 32 * 512) * 0.1).astype(np.float32)
+
+    ref = MelSpectrogram(MelConfig(method="fft"))
+    m_ref = np.asarray(min_max_normalize(
+        log_mel(ref(jnp.asarray(wav))), 0.0, 1.0, "imagewise"))
+
+    m = MelSpectrogram(MelConfig(method="matmul", precision="default"))
+    frames = np.asarray(m._frame(jnp.asarray(wav)))
+    as_bf16 = lambda x: np.asarray(jnp.asarray(x, jnp.bfloat16), np.float32)
+    re = as_bf16(frames) @ as_bf16(m._cos) / m._win_norm
+    im = as_bf16(frames) @ as_bf16(m._sin) / m._win_norm
+    mel = (re * re + im * im) @ m._fb
+    got = np.asarray(min_max_normalize(
+        log_mel(jnp.asarray(mel)), 0.0, 1.0, "imagewise"))
+
+    err = np.abs(got - m_ref)
+    assert err.max() < 0.03, err.max()
+    assert err.mean() < 0.005, err.mean()
+
+
+def test_bf16_model_auto_selects_matmul_mel():
+    """bf16 models switch the mel front-end to the single-pass matmul-DFT
+    unless mel.method/precision were explicitly pinned."""
+    from diffroll_tpu import models
+
+    m16 = models.build("ClassifierFreeDiffRoll", residual_channels=8,
+                       residual_layers=1, frames=32, dtype="bfloat16")
+    assert m16.mel.config.method == "matmul"
+    assert m16.mel.config.precision == "default"
+    m32 = models.build("ClassifierFreeDiffRoll", residual_channels=8,
+                       residual_layers=1, frames=32)
+    assert m32.mel.config.method == "fft"
+    # explicit user choice wins
+    import dataclasses
+
+    pinned = models.build(
+        "ClassifierFreeDiffRoll", residual_channels=8, residual_layers=1,
+        frames=32, dtype="bfloat16",
+        mel=dataclasses.replace(m32.mel.config, method="matmul"))
+    assert pinned.mel.config.precision == "highest"

@@ -278,3 +278,37 @@ def test_train_monitor_saves_best_despite_val_loader(tmp_path):
     ckpt.wait()
     steps = [p.name for p in (tmp_path / "ck").iterdir()]
     assert any(s.startswith("step_") and "last" not in s for s in steps), steps
+
+
+def test_fused_adam_matches_optax_chain():
+    """make_optimizer returns an AdamTx whose fused one-pass update
+    (train/state.fused_adam_apply, used by make_train_step) matches
+    optax.adam's update+apply composition over several steps."""
+    import numpy as np
+    import optax
+
+    from diffroll_tpu.train.state import (AdamTx, fused_adam_apply,
+                                          make_optimizer)
+
+    rng = np.random.RandomState(0)
+    params = {"a": jnp.asarray(rng.randn(17, 5), jnp.float32),
+              "b": {"w": jnp.asarray(rng.randn(8), jnp.float32)}}
+    tx = make_optimizer(3e-4)
+    assert isinstance(tx, AdamTx)
+    opt, ref_opt, ref_params = tx.init(params), tx.init(params), params
+    for _ in range(5):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32), params)
+        params, opt = fused_adam_apply(tx, params, grads, opt)
+        u, ref_opt = tx.update(grads, ref_opt, ref_params)
+        ref_params = optax.apply_updates(ref_params, u)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        params, ref_params)
+    np.testing.assert_array_equal(np.asarray(opt[0].count),
+                                  np.asarray(ref_opt[0].count))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        opt[0].nu, ref_opt[0].nu)
