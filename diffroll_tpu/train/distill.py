@@ -132,13 +132,17 @@ def distill_stage(
     snr_cap: Optional[float] = 5.0,
     mesh: Optional[Any] = None,
     log: Optional[Callable[[int, float], None]] = None,
+    conditioner: Optional[Callable[[Dict], jnp.ndarray]] = None,
 ) -> Tuple[Any, float]:
     """One halving: train a student (initialized from the teacher) on the
-    `student_steps` grid. Returns (student params, final-step loss)."""
+    `student_steps` grid. Returns (student params, final-step loss).
+    `conditioner` overrides the default waveform->mel conditioner (e.g.
+    the debug roll conditioner in tests)."""
     student_grid, midpoints = distill_grids(timesteps, student_steps)
     loss_fn = make_distill_loss(
         model, schedule, teacher_params, student_grid, midpoints,
         guided=guided, w=w, snr_clip=snr_clip, snr_cap=snr_cap,
+        conditioner=conditioner,
     )
     tx = make_optimizer(lr)
     # student initialized from the teacher — COPIED, because the train step

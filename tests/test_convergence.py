@@ -117,3 +117,66 @@ def test_bf16_training_converges():
                           roll_cond=jnp.asarray(rolls))
     m = evaluate_rolls(np.asarray(pred), rolls, frame_threshold=0.5)
     assert m["frame_f1"] > 0.7, m
+
+
+@pytest.mark.slow
+def test_distilled_student_keeps_f1_at_equal_steps():
+    """F1-level distillation gate (VERDICT r2 item 5): train a tiny
+    debug-conditioned teacher, distill ONE stage to a few-step student,
+    and require the student's note/frame F1 at k steps to be no worse
+    than the UNDISTILLED teacher sampled at the same k steps on held-out
+    rolls — the regression tripwire behind the flagship 'distilled@4
+    beats its teacher' example result."""
+    from diffroll_tpu.train.distill import distill_stage
+
+    model = models.build(
+        "ClassifierFreeDiffRoll", residual_channels=C, residual_layers=LAYERS,
+        frames=FRAMES, timesteps=T, cond_source="roll", n_mels=88,
+        spec_dropout=0.0,
+    )
+    task = DiffusionTask(model, TaskConfig(
+        timesteps=T, training_mode="x_0", loss_type="l2", lr=2e-3,
+        sampling_type="ddpm_x0", debug=True))
+
+    params = model.init(jax.random.key(0))
+    tx = make_optimizer(2e-3)
+    state = TrainState.create(params, tx)
+    step = make_train_step(task.loss_fn, tx, donate_state=False)
+
+    rolls = _random_rolls(7, 8)
+    batch = {"frame": jnp.asarray(rolls), "audio": jnp.zeros((8, 16))}
+    key = jax.random.key(1)
+    for _ in range(300):
+        key, k = jax.random.split(key)
+        state, _ = step(state, batch, k)
+
+    k_steps = 3
+    held_out = _random_rolls(23, 8)
+    x_T = jax.random.normal(jax.random.key(2), (8, FRAMES, 88))
+
+    def f1_at(params_, steps):
+        t2 = DiffusionTask(model, task.config.replace(
+            sampling_type="ddim_x0", sampling_steps=steps))
+        pred, _ = t2.sample(params_, x_T, jax.random.key(3),
+                            roll_cond=jnp.asarray(held_out))
+        return evaluate_rolls(np.asarray(pred), held_out,
+                              frame_threshold=0.5)
+
+    base = f1_at(state.params, k_steps)
+
+    def batches():
+        kk = jax.random.key(11)
+        while True:
+            kk, _ = jax.random.split(kk)
+            yield {"frame": jnp.asarray(rolls),
+                   "audio": jnp.zeros((8, 16)),
+                   }
+
+    student, last_loss = distill_stage(
+        model, task.schedule, state.params, batches(), T, k_steps,
+        n_steps=300, lr=1e-3, guided=False,
+        conditioner=lambda b: model.normalize_roll(b["frame"]))
+    assert np.isfinite(last_loss)
+    dist = f1_at(student, k_steps)
+    assert dist["frame_f1"] >= base["frame_f1"] - 0.05, (base, dist)
+    assert dist["note_f1"] >= base["note_f1"] - 0.10, (base, dist)
