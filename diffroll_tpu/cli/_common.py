@@ -32,6 +32,7 @@ def build_dataset(ds: DatasetConfig, split: str):
         sequence_length=ds.sequence_length, seed=ds.seed,
         hop_length=ds.hop_length, min_midi=ds.min_midi, max_midi=ds.max_midi,
         sampling_rate=ds.sampling_rate, preload=ds.preload, overlap=overlap,
+        eval_overlap_frames=ds.eval_overlap_frames,
         max_cache_bytes=ds.max_cache_bytes,
     )
     if ds.name == "MAPS":

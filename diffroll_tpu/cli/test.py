@@ -98,11 +98,27 @@ def run_test(cfg, model, task, state, artifacts_dir=None,
             per_thr[thr].append(m)
         n_clips += weight
 
+    eval_ov = int(getattr(cfg.dataset, "eval_overlap_frames", 0))
+
     def finalize(ent):
         starts = sorted(ent["pred"])
-        pred_full = np.concatenate([ent["pred"][s] for s in starts])
-        label_full = np.concatenate([ent["label"][s] for s in starts])
         n = ent["n_frames"]
+        if eval_ov > 0 and len(starts) > 1:
+            # context-overlapped windows: crossfade-stitch predictions
+            # (tasks/transcribe.stitch_rolls); labels agree bit-exactly in
+            # the overlaps, so plain overwrite assembly is exact for them
+            from ..tasks.transcribe import stitch_rolls
+
+            pred_full = stitch_rolls(
+                np.stack([ent["pred"][s] for s in starts]), eval_ov, n)
+            win = next(iter(ent["label"].values())).shape[0]
+            label_full = np.zeros((starts[-1] + win, 88),
+                                  next(iter(ent["label"].values())).dtype)
+            for s in starts:
+                label_full[s: s + win] = ent["label"][s]
+        else:
+            pred_full = np.concatenate([ent["pred"][s] for s in starts])
+            label_full = np.concatenate([ent["label"][s] for s in starts])
         score(pred_full[None, :n], label_full[None, :n], 1)
 
     for batch in loader:
@@ -127,7 +143,10 @@ def run_test(cfg, model, task, state, artifacts_dir=None,
                 ent["label"][sf] = labels[j]
             for ci in sorted(pending):
                 ent = pending[ci]
-                expected = max(1, -(-ent["n_frames"] // win_frames))
+                if hasattr(test_ds, "n_windows"):
+                    expected = test_ds.n_windows(ent["n_frames"])
+                else:
+                    expected = max(1, -(-ent["n_frames"] // win_frames))
                 if len(ent["pred"]) >= expected:
                     finalize(pending.pop(ci))
         else:

@@ -38,6 +38,11 @@ class DatasetConfig:
     # None = reference defaults (train False, val/test True); with True an
     # eval split enumerates consecutive windows covering every recording
     overlap: Optional[bool] = None
+    # context overlap between consecutive eval windows (frames): windows
+    # share this many frames and the eval loop crossfade-stitches them, so
+    # scored frames keep temporal context at window seams. 0 = butted
+    # tiles (measured equivalent on the synthetic corpus — see README)
+    eval_overlap_frames: int = 0
     # Custom-folder knobs (reference utils/custom_dataset.py ctor)
     audio_path: str = "my_audio"
     audio_ext: str = "wav"

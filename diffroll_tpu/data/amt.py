@@ -75,6 +75,7 @@ class PairedAudioMidi:
         deterministic: bool = False,
         extend_sustain: bool = True,
         overlap: bool = False,
+        eval_overlap_frames: int = 0,
         max_cache_bytes: Optional[int] = 8 << 30,
     ):
         if not pairs:
@@ -94,6 +95,12 @@ class PairedAudioMidi:
         # carry clip_idx / start_frame / n_clip_frames so the eval loop can
         # reassemble per-recording rolls.
         self.overlap = bool(overlap) and sequence_length is not None
+        # context-overlapped eval windows: consecutive windows share
+        # `eval_overlap_frames` frames, so no scored frame sits closer than
+        # overlap/2 to a window edge (except recording edges); the eval
+        # loop crossfade-stitches them (tasks/transcribe.stitch_rolls).
+        # 0 = butted tiles.
+        self.eval_overlap_frames = int(eval_overlap_frames)
         self._windows: Optional[List[Tuple[int, int]]] = None
         self._lengths: Dict[int, int] = {}
         self._seed = int(seed)
@@ -137,16 +144,29 @@ class PairedAudioMidi:
         if self._windows is None:
             # stride by whole FRAMES (a window labels seq//hop frames), so
             # consecutive windows tile the frame grid exactly even when
-            # sequence_length is not a hop multiple
+            # sequence_length is not a hop multiple; with
+            # eval_overlap_frames the stride shrinks so windows share
+            # context at the seams
             win_frames = max(self.sequence_length // self.hop_length, 1)
-            stride = win_frames * self.hop_length
+            ov = min(max(self.eval_overlap_frames, 0), win_frames - 1)
+            stride_frames = win_frames - ov
+            stride = stride_frames * self.hop_length
             wins: List[Tuple[int, int]] = []
             for i in range(len(self.pairs)):
                 total_frames = max(1, -(-self._length(i) // self.hop_length))
-                for w in range(max(1, -(-total_frames // win_frames))):
+                n_win = self.n_windows(total_frames)
+                for w in range(n_win):
                     wins.append((i, w * stride))
             self._windows = wins
         return self._windows
+
+    def n_windows(self, total_frames: int) -> int:
+        """Eval windows covering a `total_frames`-frame recording under the
+        current (win, overlap) geometry — the eval loop uses this to know
+        when a recording's windows are complete."""
+        win_frames = max(self.sequence_length // self.hop_length, 1)
+        ov = min(max(self.eval_overlap_frames, 0), win_frames - 1)
+        return 1 + max(0, -(-(total_frames - win_frames) // (win_frames - ov)))
 
     def _hash_draw(self, clip_idx: int, k: int) -> int:
         """Stateless random integer for window starts: splitmix64 over the

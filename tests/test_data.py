@@ -434,3 +434,34 @@ def test_double_dataset_epoch_forwarding(maps_tree):
     # a different epoch draws a different window for a long enough clip
     b1 = ds1.getitem_at(0, epoch=4)
     assert not np.array_equal(a1["audio"], b1["audio"])
+
+
+def test_eval_overlapped_windows_geometry(tmp_path):
+    """With eval_overlap_frames, consecutive eval windows share exactly
+    that many frames and still cover the full recording."""
+    d = tmp_path / "MAPS" / "ENSTDkAm" / "MUS"
+    d.mkdir(parents=True)
+    seconds = 13.3
+    make_clip(d / "long", seconds=seconds)
+    seq, ov = 64 * HOP, 16
+    ds = MAPS(str(tmp_path), groups="test", sequence_length=seq,
+              eval_overlap_frames=ov)
+    n_samples = int(seconds * SR)
+    total_frames = int(np.ceil(n_samples / HOP))
+    win = seq // HOP
+    expected = 1 + int(np.ceil(max(total_frames - win, 0) / (win - ov)))
+    assert len(ds) == expected == ds.n_windows(total_frames)
+    starts = [int(ds[i]["start_frame"]) for i in range(len(ds))]
+    assert starts == [i * (win - ov) for i in range(expected)]
+    # coverage: last window reaches past the end of the recording
+    assert starts[-1] + win >= total_frames
+    # windows agree with the full rasterization at their own offsets
+    from diffroll_tpu.io.midi import read_midi
+    from diffroll_tpu.data import rasterize_notes
+
+    midi_notes = read_midi(str(d / "long.mid"))
+    full, _ = rasterize_notes(midi_notes, starts[-1] + win, HOP, SR)
+    for i in range(len(ds)):
+        it = ds[i]
+        np.testing.assert_array_equal(it["frame"],
+                                      full[starts[i]: starts[i] + win])
