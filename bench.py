@@ -309,6 +309,13 @@ def bench_host_pipeline(extras):
 
 
 def main():
+    import os
+
+    # persistent XLA cache: full-size programs compile in minutes over the
+    # device tunnel; warm reruns reload in seconds
+    path = os.path.expanduser("~/.cache/diffroll_tpu/xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
     extras = {}
     dt = bench_sampling(extras)
     bench_train(extras)

@@ -125,17 +125,21 @@ class DiffRollModel:
         else:
             raise ValueError(f"unknown variant {c.variant!r}")
         mel_cfg = c.mel
-        if (c.dtype in (jnp.bfloat16, "bfloat16")
-                and mel_cfg.method == "fft"
-                and mel_cfg.precision == "highest"):
-            # bf16 models: the conditioner feeds bf16 convs, so the mel
-            # front-end runs as a single-pass bf16 matmul-DFT on the MXU
-            # (~6x cheaper than the f32 FFT path; the residual DFT error
-            # sits below bf16 resolution after log + min-max — measured
-            # ~2.4 ms of the 19 ms B=16 train step). Explicitly-set
-            # mel.method / mel.precision are honored unchanged.
-            mel_cfg = dataclasses.replace(mel_cfg, method="matmul",
-                                          precision="default")
+        if mel_cfg.method == "fft" and mel_cfg.precision == "highest":
+            # auto-select the TPU mel execution path (explicitly-set
+            # mel.method / mel.precision are honored unchanged). Profiled
+            # at B=16 on v5e: the fft AND matmul paths both cost ~11 ms
+            # because the framing GATHER dominates; the strided-conv DFT
+            # materializes no frame tensor. bf16 models additionally drop
+            # to single-pass MXU precision — their conditioner feeds bf16
+            # convs, so the residual DFT error sits below bf16 resolution
+            # after log + min-max (tests/test_mel.py bounds it).
+            if c.dtype in (jnp.bfloat16, "bfloat16"):
+                mel_cfg = dataclasses.replace(mel_cfg, method="conv",
+                                              precision="default")
+            elif jax.default_backend() == "tpu":
+                mel_cfg = dataclasses.replace(mel_cfg, method="conv",
+                                              precision="highest")
         self.mel = MelSpectrogram(mel_cfg) if c.cond_source == "spec" else None
 
     # ---- parameters ------------------------------------------------------

@@ -165,18 +165,19 @@ def test_matmul_bf16_close():
     assert err.mean() < 0.005, err.mean()
 
 
-def test_bf16_model_auto_selects_matmul_mel():
-    """bf16 models switch the mel front-end to the single-pass matmul-DFT
-    unless mel.method/precision were explicitly pinned."""
+def test_bf16_model_auto_selects_conv_mel():
+    """bf16 models switch the mel front-end to the single-pass strided-conv
+    DFT unless mel.method/precision were explicitly pinned (f32 models on
+    the CPU test backend keep fft; on TPU they get conv at highest)."""
     from diffroll_tpu import models
 
     m16 = models.build("ClassifierFreeDiffRoll", residual_channels=8,
                        residual_layers=1, frames=32, dtype="bfloat16")
-    assert m16.mel.config.method == "matmul"
+    assert m16.mel.config.method == "conv"
     assert m16.mel.config.precision == "default"
     m32 = models.build("ClassifierFreeDiffRoll", residual_channels=8,
                        residual_layers=1, frames=32)
-    assert m32.mel.config.method == "fft"
+    assert m32.mel.config.method == "fft"  # CPU backend in tests
     # explicit user choice wins
     import dataclasses
 
@@ -185,3 +186,20 @@ def test_bf16_model_auto_selects_matmul_mel():
         frames=32, dtype="bfloat16",
         mel=dataclasses.replace(m32.mel.config, method="matmul"))
     assert pinned.mel.config.precision == "highest"
+
+
+def test_conv_mel_matches_fft():
+    """The strided-conv DFT path (TPU default) matches the FFT path to
+    float tolerance at full precision — same contract as the matmul path,
+    with no materialized frame tensor."""
+    import jax.numpy as jnp
+
+    from diffroll_tpu.dsp.mel import MelConfig, MelSpectrogram
+
+    rng = np.random.RandomState(0)
+    wav = (rng.randn(3, 32 * 512 + 123) * 0.3).astype(np.float32)
+    ref = np.asarray(MelSpectrogram(MelConfig(method="fft"))(jnp.asarray(wav)))
+    got = np.asarray(
+        MelSpectrogram(MelConfig(method="conv"))(jnp.asarray(wav)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5 * max(1.0, ref.max()))

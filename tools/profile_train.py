@@ -216,7 +216,7 @@ def main():
 
     audios = jax.random.normal(jax.random.key(2), (K, B, 640 * 512))
     variants = [("fft", "highest"), ("matmul", "highest"),
-                ("matmul", "default")]
+                ("conv", "highest"), ("conv", "default")]
     for method, prec in variants:
         m = MelSpectrogram(MelConfig(method=method, precision=prec))
 
