@@ -423,3 +423,20 @@ def test_cli_test_overlapped_eval_windows(tmp_path):
     metrics = run_test(cfg, model, task, state)
     assert metrics["n_clips"] == 2  # recordings, not windows
     assert 0.0 <= metrics["frame_f1"] <= 1.0
+
+
+def test_cli_p_sweep_trains_per_point(maps_tree, tmp_path):
+    """sweep p_grid=[...] drives one full train+test per spec_dropout and
+    collects the F1-vs-p table (the paper's central experiment)."""
+    from diffroll_tpu.cli import sweep as sweep_cli
+
+    out = tmp_path / "out"
+    rows = sweep_cli.main([
+        "spec_roll", "p_grid=[0.0,0.5]",
+        *_tiny_args(maps_tree, out)])
+    assert [r["spec_dropout"] for r in rows] == [0.0, 0.5]
+    assert all(0.0 <= r["note_f1"] <= 1.0 for r in rows)
+    table = json.loads((out / "p_sweep" / "p_sweep.json").read_text())
+    assert len(table) == 2
+    # one train run dir per point
+    assert sorted((out / "p_sweep").glob("p*")) != []
