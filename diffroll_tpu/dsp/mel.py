@@ -164,21 +164,35 @@ class MelSpectrogram:
         """(B, L) -> (B, n_frames, n_freqs) power spectrum."""
         cfg = self.config
         if cfg.method == "conv":
+            # chunked im2col-free DFT: reshape the padded waveform into
+            # hop-sized chunks (B, q, hop) — frame t is exactly chunks
+            # [t, t + n_fft/hop), so the windowed DFT is a VALID conv with
+            # kernel (n_fft/hop, hop, 2*n_freqs). This shape (k=4, 512
+            # input channels for the defaults) maps onto the MXU like the
+            # denoiser's own convs; a naive stride-hop kernel-n_fft conv
+            # over 1 input channel does NOT (measured 21 ms vs sub-ms at
+            # B=16) and neither does a materialized frame gather (11 ms).
             import jax
 
+            hop, n_fft = cfg.hop_length, cfg.n_fft
+            if n_fft % hop:
+                raise ValueError(
+                    "method='conv' needs hop_length | n_fft; use 'matmul'")
+            taps = n_fft // hop
             x = waveform.astype(jnp.float32)
             if cfg.center:
-                pad = cfg.n_fft // 2
+                pad = n_fft // 2
                 x = jnp.pad(x, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
+            q = x.shape[-1] // hop
+            x = x[:, : q * hop].reshape(x.shape[0], q, hop)
             kern = jnp.concatenate(
                 [jnp.asarray(self._cos), jnp.asarray(self._sin)], axis=1
-            )[:, None, :]                      # (n_fft, 1, 2*n_freqs) WIO
+            ).reshape(taps, hop, 2 * cfg.n_freqs)
             out = jax.lax.conv_general_dilated(
-                x[:, :, None], kern, window_strides=(cfg.hop_length,),
-                padding="VALID",
+                x, kern, window_strides=(1,), padding="VALID",
                 dimension_numbers=("NWC", "WIO", "NWC"),
                 precision=self._prec(),
-            )                                   # (B, n_frames, 2*n_freqs)
+            )                                   # (B, q - taps + 1, 2F)
             re = out[..., : cfg.n_freqs]
             im = out[..., cfg.n_freqs:]
             if cfg.normalized:
