@@ -313,21 +313,36 @@ def main():
 
     # persistent XLA cache: full-size programs compile in minutes over the
     # device tunnel; warm reruns reload in seconds
+    import sys
+
     path = os.path.expanduser("~/.cache/diffroll_tpu/xla")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     extras = {}
-    dt = bench_sampling(extras)
-    bench_train(extras)
-    bench_serve(extras)
-    bench_host_pipeline(extras)
+    dt = None
+    # sections are independent; a transient tunnel failure in one (the
+    # remote compile service has dropped connections mid-run) must not
+    # lose the others' results — progress also streams to stderr
+    for name, fn in (("sampling", bench_sampling), ("train", bench_train),
+                     ("serve", bench_serve),
+                     ("host_pipeline", bench_host_pipeline)):
+        try:
+            t0 = time.perf_counter()
+            out = fn(extras)
+            if name == "sampling":
+                dt = out
+            print(f"[bench] {name} done in {time.perf_counter()-t0:.0f}s: "
+                  f"{extras}", file=sys.stderr)
+        except Exception as e:
+            extras[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+            print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
 
     budget_s = 1.0  # north-star: < 1 s per 20.48 s clip
     print(json.dumps({
         "metric": "e2e_transcription_latency_20s_clip",
-        "value": round(dt, 4),
+        "value": round(dt, 4) if dt else None,
         "unit": "s",
-        "vs_baseline": round(budget_s / dt, 3),
+        "vs_baseline": round(budget_s / dt, 3) if dt else None,
         "extras": extras,
     }))
 
