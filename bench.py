@@ -168,13 +168,18 @@ def bench_train(extras):
             return TrainState(step=state.step + 1, params=new_p,
                               opt_state=opt), losses["diffusion_loss"]
 
-        # K chained steps inside ONE dispatch: amortizes the tunnel RTT
+        # K chained steps inside ONE dispatch: amortizes the tunnel RTT.
+        # batches MUST be a jit argument, not a closure capture — captured
+        # arrays serialize into the remote-compile request, and 420 MB of
+        # batch data overflows the compile service's body limit (HTTP 413
+        # / dropped connections)
         @jax.jit
-        def many(state, key):
+        def many(state, key, batches):
             return jax.lax.scan(inner, state,
                                 (batches, jax.random.split(key, K)))
 
-        dt = timeit(lambda: many(state, jax.random.key(3)), iters=3) / K
+        dt = timeit(lambda: many(state, jax.random.key(3), batches),
+                    iters=3) / K
 
         flops = None
         try:
