@@ -40,9 +40,12 @@ class DatasetConfig:
     overlap: Optional[bool] = None
     # context overlap between consecutive eval windows (frames): windows
     # share this many frames and the eval loop crossfade-stitches them, so
-    # scored frames keep temporal context at window seams. 0 = butted
-    # tiles (measured equivalent on the synthetic corpus — see README)
-    eval_overlap_frames: int = 0
+    # scored frames keep temporal context at window seams. Measured on the
+    # synthetic v2 corpus (tools/eval_boundary.py, 4-window recordings):
+    # butted tiles cost 1.35 note-F1 points vs 32-frame stitching (note
+    # 0.4807 vs 0.4942), so stitching is the default; 0 = butted tiles
+    # (the r2 protocol), costs ~5% more sampler work at 640-frame windows
+    eval_overlap_frames: int = 32
     # Custom-folder knobs (reference utils/custom_dataset.py ctor)
     audio_path: str = "my_audio"
     audio_ext: str = "wav"

@@ -368,8 +368,10 @@ def test_cli_test_scores_full_recordings(tmp_path):
         ["model.residual_channels", "model.residual_layers", "model.frames",
          "task.timesteps", "dataloader.test_batch_size",
          "dataloader.num_workers", "dataset.sequence_length",
-         "dataset.root", "trainer.output_dir"],
-        [8, 2, FRAMES, 4, 2, 1, SEQ, str(tmp_path), str(tmp_path / "out")])))
+         "dataset.root", "trainer.output_dir",
+         "dataset.eval_overlap_frames"],
+        [8, 2, FRAMES, 4, 2, 1, SEQ, str(tmp_path), str(tmp_path / "out"),
+         0])))  # butted tiles pinned: this test asserts tile geometry
     model, task = _common.setup_model_task(cfg)
     params = model.init(jax.random.key(0))
     state = TrainState.create(params, make_optimizer(1e-4))
