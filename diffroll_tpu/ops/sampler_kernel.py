@@ -142,21 +142,51 @@ def head_weights(params) -> HeadWeights:
 
 # --------------------------------------------------------------- the kernel
 
+def _dot2d(lhs, rhs):
+    return jax.lax.dot_general(
+        lhs, rhs,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _make_kernel(n_layers, taps, dilations, pad, guided, w_guidance,
-                 tile, t_len, c, conditional, stochastic):
+                 tile, t_len, c, conditional, stochastic,
+                 merge_taps, hoist_cond, u, diag=""):
     """Kernel body. Block shapes (leading 1s are the grid block axes):
     x_T (1,tile,T,88) f32; noise (1,1,tile,T,88) f32; tb (1,L,C) f32;
     tab (1,3) SMEM f32; stack/head weights full-array resident;
-    cond (1, bc, T, M) bf16; out x (1,tile,T,88) f32 (the carry)."""
+    cond (1, bc, T, M) bf16; out x (1,tile,T,88) f32 (the carry).
+
+    All dots flatten the stream dim into matmul rows ((bc*T, K) x (K, N)):
+    at small batch the per-step cost is latency-dominated (measured
+    t(bc) = 174us + 238us*bc per 200-step CFG run on v5e), so fewer,
+    larger MXU ops beat per-stream rank-3 dots. `merge_taps` concatenates
+    the tap slices along channels for ONE (bc*T, taps*C) x (taps*C, 2C)
+    dot per layer; `hoist_cond` computes the step-invariant conditioner
+    projection (cond @ wc_l + b_l, identical for all 200 steps) once at
+    i==0 into a resident scratch, removing 15 dots from every later step.
+    `u` unrolls that many reverse steps per grid iteration: grid-step
+    machinery costs ~180us on v5e regardless of denoiser size (a 2-layer
+    full-width step still takes 240us), which is ~30% of the B=1 step —
+    unrolling amortizes it over u real steps.
+    """
     ctr = taps // 2
     bc = 2 * tile if guided else tile
+    rows = bc * t_len          # flattened matmul rows
+    grows = tile * t_len       # rows per guidance stream
     bf = jnp.bfloat16
+    # `diag` ablates named kernel pieces for latency attribution (output
+    # becomes garbage — tools/profile_megakernel.py only): tokens among
+    # nohead,nofinal,noupdate,noypad,noskip,notb,nogate
+    diag = frozenset(diag.split(",")) if diag else frozenset()
 
-    def kernel(x_T_ref, noise_ref, tb_ref, tab_ref,
-               wd_ref, wc_ref, b_ref, wo_ref, bo_ref,
-               win_ref, bin_ref, wskip_ref, bskip_ref, wout_ref, bout_ref,
-               cond_ref,
-               x_ref, x_buf, ypad):
+    def kernel(*refs):
+        (x_T_ref, noise_ref, tb_ref, tab_ref,
+         wd_ref, wc_ref, b_ref, wo_ref, bo_ref,
+         win_ref, bin_ref, wskip_ref, bskip_ref, wout_ref, bout_ref,
+         cond_ref, x_ref, x_buf, ypad) = refs[:19]
+        cond_scr = refs[19] if hoist_cond else None
         i = pl.program_id(1)  # step; dim 0 tiles the batch
 
         @pl.when(i == 0)
@@ -165,78 +195,167 @@ def _make_kernel(n_layers, taps, dilations, pad, guided, w_guidance,
             if pad:
                 ypad[:, :pad, :] = jnp.zeros((bc, pad, c), ypad.dtype)
                 ypad[:, t_len + pad:, :] = jnp.zeros((bc, pad, c), ypad.dtype)
+            if hoist_cond:
+                cflat = cond_ref[0].reshape(rows, -1)
+                for l in range(n_layers):
+                    cond_scr[l] = (_dot2d(cflat, wc_ref[l])
+                                   + b_ref[l, 0][None, :]).astype(bf)
 
         x = x_ref[0]  # (tile, T, 88) f32
+        for uu in range(u):  # u reverse steps per grid iteration
 
-        # head-in (f32 dots: tiny, keeps parity with the XLA head)
-        h = jax.nn.relu(
-            jax.lax.dot_general(
-                x, win_ref[:],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bin_ref[0][None, None, :]
-        )
-        if guided:
-            x_buf[:] = jnp.concatenate([h, h], axis=0).astype(bf)
-        else:
-            x_buf[:] = h.astype(bf)
+            # head-in (f32 dots: tiny, keeps parity with the XLA head)
+            if "nohead" in diag:
+                x_buf[:] = jnp.zeros((rows, c), bf)
+            else:
+                h = jax.nn.relu(
+                    _dot2d(x.reshape(grows, -1), win_ref[:])
+                    + bin_ref[0][None, :])
+                if guided:
+                    x_buf[:] = jnp.concatenate([h, h], axis=0).astype(bf)
+                else:
+                    x_buf[:] = h.astype(bf)
 
-        skip = jnp.zeros((bc, t_len, c), jnp.float32)
-        for l in range(n_layers):
-            d = int(dilations[l])
-            y = x_buf[:].astype(jnp.float32) + tb_ref[0, l][None, None, :]
-            ypad[:, pad: t_len + pad, :] = y.astype(ypad.dtype)
-            acc = jnp.broadcast_to(b_ref[l, 0][None, None, :],
-                                   (bc, t_len, 2 * c)).astype(jnp.float32)
-            if conditional:
-                acc = acc + jax.lax.dot_general(
-                    cond_ref[0], wc_ref[l],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # cond block (1, bc, T, M) -> [0] is (bc, T, M)
-            for j in range(taps):
-                start = pad + (j - ctr) * d  # static: dilation is unrolled
-                acc = acc + jax.lax.dot_general(
-                    ypad[:, start: start + t_len, :].astype(bf), wd_ref[l, j],
-                    dimension_numbers=(((2,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            g = (jax.nn.sigmoid(acc[..., :c]) * jnp.tanh(acc[..., c:])
-                 ).astype(bf)
-            out = jax.lax.dot_general(
-                g, wo_ref[l],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bo_ref[l, 0][None, None, :]
-            x_buf[:] = ((x_buf[:].astype(jnp.float32) + out[..., :c])
-                        * _SQRT_HALF).astype(bf)
-            skip = skip + out[..., c:]
+            # `chunkbc` splits the stack into per-stream row chunks: each
+            # guidance stream's 15-layer chain is then fully independent
+            # until the skip merge, so Mosaic can overlap one stream's
+            # VPU gate with the other's MXU dots (measured -8% at B=1 CFG).
+            # `chunkt2`/`chunkt4` additionally split each stream's frames
+            # into 2/4 sub-chunks (ypad is written whole per stream first,
+            # because dilated taps cross sub-chunk boundaries).
+            chunk_bc = ("chunkbc" in diag and bc > 1)
+            nch_t = 2 if "chunkt2" in diag else 4 if "chunkt4" in diag else 1
+            if nch_t > 1:
+                chunk_bc = bc > 1  # t-split implies the per-stream split
+            # chunk descriptors: (row0, nrows, stream0, nstreams, t0)
+            if chunk_bc or nch_t > 1:
+                ct = t_len // nch_t
+                chunks = [(b * t_len + kt * ct, ct, b, 1, kt * ct)
+                          for b in range(bc) for kt in range(nch_t)]
+            else:
+                chunks = [(0, rows, 0, bc, 0)]
+            csz = chunks[0][1]
 
-        skip = skip * (1.0 / math.sqrt(n_layers))
-        hs = jax.nn.relu(
-            jax.lax.dot_general(
-                skip, wskip_ref[:],
-                dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bskip_ref[0][None, None, :]
-        )
-        pred = jax.lax.dot_general(
-            hs, wout_ref[:],
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bout_ref[0][None, None, :]
+            def gate(acc):
+                if "nogate" in diag:
+                    return acc[:, :c].astype(bf)
+                if "gatebf16" in diag:
+                    # packed-bf16 VPU transcendentals (2 lanes/word)
+                    ab = acc.astype(bf)
+                    return jax.nn.sigmoid(ab[:, :c]) * jnp.tanh(ab[:, c:])
+                if "gateexp" in diag:
+                    # 2 exps + 2 fast reciprocals instead of library
+                    # sigmoid/tanh: s(a)*tanh(b) with tanh(b)=2s(2b)-1
+                    ea = jnp.exp(-acc[:, :c])
+                    e2b = jnp.exp(-2.0 * acc[:, c:])
+                    s = pl.reciprocal(1.0 + ea, approx=True)
+                    th = 2.0 * pl.reciprocal(1.0 + e2b, approx=True) - 1.0
+                    return (s * th).astype(bf)
+                return (jax.nn.sigmoid(acc[:, :c]) * jnp.tanh(acc[:, c:])
+                        ).astype(bf)
 
-        if guided:
-            pred = (1.0 + w_guidance) * pred[:tile] - w_guidance * pred[tile:]
+            # `wosplit` runs the out projection as two half-dots so the
+            # skip half accumulates straight into the running skip (a
+            # candidate for MXU accumulation instead of 15 VMEM
+            # round-trips of a (rows, C) f32 accumulator); the skip bias
+            # is then added once after the layer loop (f32 reorder only)
+            wosplit = "wosplit" in diag
+            chunked = len(chunks) > 1
 
-        # tables are a fully-resident (n, 3) SMEM block; scalar-indexed by
-        # the step id (a (1, 3) block fails Mosaic's divisibility rule)
-        a = tab_ref[i, 0]
-        b = tab_ref[i, 1]
-        upd = a * pred + b * x
-        if stochastic:  # deterministic runs carry a dummy (1,...) noise op
-            upd = upd + tab_ref[i, 2] * noise_ref[0, 0]
-        x_ref[0] = upd
+            skips = [jnp.zeros((ch[1], c), jnp.float32) for ch in chunks]
+            for l in range(n_layers):
+                d = int(dilations[l])
+                # write each stream's ypad interior WHOLE before any
+                # sub-chunk reads it: dilated taps cross t-splits
+                if "noypad" not in diag:
+                    if chunked:
+                        for b in range(bc):
+                            r0 = b * t_len
+                            y = x_buf[r0: r0 + t_len].astype(jnp.float32)
+                            if "notb" not in diag:
+                                y = y + tb_ref[uu, l][None, :]
+                            ypad[b, pad: t_len + pad, :] = (
+                                y.astype(ypad.dtype))
+                    else:
+                        y = x_buf[:].astype(jnp.float32)
+                        if "notb" not in diag:
+                            y = y + tb_ref[uu, l][None, :]
+                        ypad[:, pad: t_len + pad, :] = (
+                            y.reshape(bc, t_len, c).astype(ypad.dtype))
+                for k, (r0, csz, b0, bn, t0) in enumerate(chunks):
+                    tl = csz // bn
+                    if hoist_cond:
+                        acc = cond_scr[l, r0: r0 + csz].astype(jnp.float32)
+                    else:
+                        acc = jnp.broadcast_to(
+                            b_ref[l, 0][None, :],
+                            (csz, 2 * c)).astype(jnp.float32)
+                        if conditional:
+                            acc = acc + _dot2d(
+                                cond_ref[0].reshape(rows, -1)[r0: r0 + csz],
+                                wc_ref[l])
+                    # dilated taps: static slices of the zero-haloed buffer
+                    # (dilation is compile-time-constant per unrolled layer)
+                    if merge_taps:
+                        yc = jnp.concatenate(
+                            [ypad[b0: b0 + bn, pad + t0 + (j - ctr) * d:
+                                  pad + t0 + (j - ctr) * d + tl, :]
+                             .reshape(csz, c) for j in range(taps)], axis=-1)
+                        acc = acc + _dot2d(
+                            yc, wd_ref[l].reshape(taps * c, 2 * c))
+                    else:
+                        for j in range(taps):
+                            start = pad + t0 + (j - ctr) * d
+                            acc = acc + _dot2d(
+                                ypad[b0: b0 + bn, start: start + tl, :]
+                                .reshape(csz, c),
+                                wd_ref[l, j])
+                    g = gate(acc)
+                    if wosplit:
+                        out_x = (_dot2d(g, wo_ref[l, :, :c])
+                                 + bo_ref[l, 0, :c][None, :])
+                        if "noskip" not in diag:
+                            skips[k] = skips[k] + _dot2d(g, wo_ref[l, :, c:])
+                    else:
+                        out = _dot2d(g, wo_ref[l]) + bo_ref[l, 0][None, :]
+                        out_x = out[:, :c]
+                        if "noskip" not in diag:
+                            skips[k] = skips[k] + out[:, c:]
+                    x_buf[r0: r0 + csz] = (
+                        (x_buf[r0: r0 + csz].astype(jnp.float32)
+                         + out_x) * _SQRT_HALF).astype(bf)
+            skip = (skips[0] if not chunked
+                    else jnp.concatenate(skips, axis=0))
+            if wosplit and "noskip" not in diag:
+                # deferred skip bias: the per-layer sum added once
+                skip = skip + jnp.sum(bo_ref[:, 0, c:], axis=0)[None, :]
+
+            if "nofinal" in diag:
+                pred = skip[:, : x.shape[2]]
+            else:
+                skip = skip * (1.0 / math.sqrt(n_layers))
+                hs = jax.nn.relu(_dot2d(skip, wskip_ref[:])
+                                 + bskip_ref[0][None, :])
+                pred = _dot2d(hs, wout_ref[:]) + bout_ref[0][None, :]
+
+            if guided:
+                pred = ((1.0 + w_guidance) * pred[:grows]
+                        - w_guidance * pred[grows:])
+
+            # tables are a fully-resident (n, 3) SMEM block; scalar-indexed
+            # by the step id (a (1, 3) block fails Mosaic's divisibility
+            # rule); with u>1 the absolute step is i*u + uu
+            if "noupdate" in diag:
+                x = x + pred.reshape(x.shape) * 1e-6
+            else:
+                s = i * u + uu
+                a = tab_ref[s, 0]
+                b = tab_ref[s, 1]
+                upd = a * pred.reshape(x.shape) + b * x
+                if stochastic:  # deterministic: dummy (1,..) noise operand
+                    upd = upd + tab_ref[s, 2] * noise_ref[uu, 0]
+                x = upd
+        x_ref[0] = x
 
     return kernel
 
@@ -254,7 +373,8 @@ def _pick_tile(bsz: int, guided: bool) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("dilations", "guided", "w_guidance", "stochastic",
-                     "interpret"))
+                     "merge_taps", "hoist_cond", "steps_per_block",
+                     "diag", "interpret"))
 def fused_sample_pallas(
     x_T: jnp.ndarray,                 # (B, T, 88) f32
     noise: jnp.ndarray,               # (n, B, T, 88) f32; (1, B, T, 88)
@@ -268,12 +388,25 @@ def fused_sample_pallas(
     guided: bool,
     w_guidance: float = 0.0,
     stochastic: bool = True,
+    merge_taps: bool = False,
+    hoist_cond: Optional[bool] = None,
+    steps_per_block: Optional[int] = None,
+    diag: str = "",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the whole reverse process; returns x_0 (B, T, 88) f32.
 
     `cond` is the CONDITIONAL branch's conditioner; the guided layout
     ([tile cond rows; tile of -1 rows] per batch tile) is built here.
+    `hoist_cond=None` auto-enables the one-time conditioner-projection
+    precompute whenever its (L, bc*T, 2C) bf16 scratch fits in VMEM next
+    to the resident weights (small-batch tiles; at the flagship size the
+    bc=4 serving tile would need ~79 MB and stays on the per-step path).
+    `steps_per_block=None` auto-unrolls up to 4 reverse steps per grid
+    iteration at small batch (the ~180us/grid-step machinery cost is
+    ~30% of a B=1 step; at bc>4 it is already amortized by compute).
+    `merge_taps` measured neutral-to-negative and trips a Mosaic internal
+    error at bc==1 — kept as an off-by-default experiment knob.
     """
     n_steps = tables.shape[0]
     n_layers, taps, c, two_c = w.wd.shape
@@ -285,6 +418,32 @@ def fused_sample_pallas(
     tile = _pick_tile(bsz, guided)
     n_tiles = bsz // tile
     bc = 2 * tile if guided else tile
+
+    if hoist_cond is None:
+        # resident weights (bf16 stack + f32 heads/biases) + the scratch
+        # + ~14 MB for blocks/activation temporaries must fit in 127 MB
+        # (measured: the flagship guided bc=2 tile fits and wins ~9%;
+        # bc=4 overflows and fails to compile, so it must stay off)
+        wbytes = 2 * (w.wd.size + w.wo.size
+                      + (w.wc.size if conditional else 0))
+        wbytes += 4 * (head.win.size + head.wskip.size + head.wout.size
+                       + 2 * n_layers * c + two_c * n_layers + 3 * c + n_out)
+        scr = 2 * n_layers * bc * t_len * two_c
+        hoist_cond = bool(conditional
+                          and wbytes + scr + 14 * 2**20 <= 127 * 2**20)
+    hoist_cond = bool(hoist_cond and conditional)
+
+    if steps_per_block is None:
+        u = 1
+        if bc <= 4:
+            for cand in (4, 2):
+                if n_steps % cand == 0:
+                    u = cand
+                    break
+    else:
+        u = int(steps_per_block)
+        if n_steps % u:
+            raise ValueError(f"steps_per_block={u} must divide {n_steps}")
 
     if conditional:
         m = w.wc.shape[1]
@@ -326,11 +485,11 @@ def fused_sample_pallas(
     in_specs = [
         pl.BlockSpec((1, tile, t_len, n_out), lambda bi, i: (bi, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, tile, t_len, n_out),
+        pl.BlockSpec((u if stochastic else 1, 1, tile, t_len, n_out),
                      (lambda bi, i: (i, bi, 0, 0, 0)) if stochastic
                      else (lambda bi, i: (0, bi, 0, 0, 0)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, n_layers, c), lambda bi, i: (i, 0, 0),
+        pl.BlockSpec((u, n_layers, c), lambda bi, i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(operands[3].shape, const(2), memory_space=pltpu.SMEM),
         pl.BlockSpec(operands[4].shape, const(4), memory_space=pltpu.VMEM),
@@ -350,23 +509,27 @@ def fused_sample_pallas(
 
     kernel = _make_kernel(n_layers, taps, tuple(dilations), pad, guided,
                           float(w_guidance), tile, t_len, c, conditional,
-                          stochastic)
+                          stochastic, merge_taps, hoist_cond, u, diag)
+
+    scratch = [
+        pltpu.VMEM((bc * t_len, c), bf),
+        pltpu.VMEM((bc, t_len + 2 * pad, c), bf),
+    ]
+    if hoist_cond:
+        scratch.append(pltpu.VMEM((n_layers, bc * t_len, two_c), bf))
 
     x0 = pl.pallas_call(
         kernel,
-        grid=(n_tiles, n_steps),
+        grid=(n_tiles, n_steps // u),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile, t_len, n_out),
                                lambda bi, i: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, tile, t_len, n_out),
                                        jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((bc, t_len, c), bf),
-            pltpu.VMEM((bc, t_len + 2 * pad, c), bf),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=(127 if hoist_cond else 120) * 1024 * 1024,
         ),
         interpret=interpret,
     )(*operands)

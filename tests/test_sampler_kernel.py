@@ -105,6 +105,62 @@ def test_megakernel_matches_scan_path(tiny_model, name, steps, extra):
     assert rel < 0.05, (name, rel)
 
 
+@pytest.mark.parametrize("u", [2, 4])
+def test_megakernel_step_unroll_matches(tiny_model, u):
+    """steps_per_block unrolls u reverse steps per grid iteration (the
+    ~180us/grid-step machinery amortization); trajectories must be
+    unchanged for stochastic AND deterministic samplers."""
+    import functools
+
+    import diffroll_tpu.ops.sampler_kernel as sk
+
+    model, params = tiny_model
+    wav = jax.random.normal(jax.random.key(1), (2, 32 * 512))
+    x_T = jax.random.normal(jax.random.key(2), (2, 32, 88))
+    for name, steps in [("cfdg_ddpm_x0", None), ("ddim", 4 if u == 2 else None)]:
+        cfg = TaskConfig(timesteps=12, sampling_type=name, w=0.5,
+                         sampling_steps=steps)
+        a, _ = DiffusionTask(model, cfg.replace(use_megakernel=False)).sample(
+            params, x_T, jax.random.key(3), waveform=wav)
+        orig = sk.fused_sample_pallas
+        sk.fused_sample_pallas = functools.partial(orig, steps_per_block=u)
+        try:
+            b, _ = DiffusionTask(model, cfg.replace(
+                use_megakernel=True)).sample(
+                params, x_T, jax.random.key(3), waveform=wav)
+        finally:
+            sk.fused_sample_pallas = orig
+        rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-6)
+        assert rel < 0.05, (name, u, rel)
+
+
+def test_megakernel_unroll_must_divide():
+    """An explicit steps_per_block that does not divide the step count is
+    a hard error (the auto path falls back to 1 instead)."""
+    import functools
+
+    import diffroll_tpu.ops.sampler_kernel as sk
+
+    model = models.build("ClassifierFreeDiffRoll", residual_channels=16,
+                         residual_layers=2, frames=32, timesteps=12)
+    params = model.init(jax.random.key(0))
+    wav = jax.random.normal(jax.random.key(1), (1, 32 * 512))
+    x_T = jax.random.normal(jax.random.key(2), (1, 32, 88))
+    cfg = TaskConfig(timesteps=12, sampling_type="cfdg_ddim_x0",
+                     sampling_steps=5, w=0.5)
+    task = DiffusionTask(model, cfg.replace(use_megakernel=True))
+    orig = sk.fused_sample_pallas
+    sk.fused_sample_pallas = functools.partial(orig, steps_per_block=2)
+    try:
+        with pytest.raises(ValueError, match="must divide"):
+            task.sample(params, x_T, jax.random.key(3), waveform=wav)
+    finally:
+        sk.fused_sample_pallas = orig
+    # auto: 5-step grid quietly runs un-unrolled
+    out, _ = task.sample(params, x_T, jax.random.key(3), waveform=wav)
+    assert out.shape == x_T.shape
+
+
 def test_megakernel_batch_tiling(tiny_model):
     """Batches above the in-kernel tile split over the grid's batch dim;
     every tile must match the untiled scan result."""
