@@ -178,7 +178,12 @@ def _make_kernel(n_layers, taps, dilations, pad, guided, w_guidance,
     bf = jnp.bfloat16
     # `diag` ablates named kernel pieces for latency attribution (output
     # becomes garbage — tools/profile_megakernel.py only): tokens among
-    # nohead,nofinal,noupdate,noypad,noskip,notb,nogate
+    # nohead,nofinal,noupdate,noypad,noskip,notb,nogate. Non-garbage
+    # experiment tokens (valid output, measured on the B=1 CFG e2e,
+    # PROFILE_r03.md): nowosplit (single-dot out projection, +0.9 ms),
+    # chunkbc/chunkt2/chunkt4 (per-stream/per-frame-chunk splits,
+    # neutral), gateexp (exp+approx-reciprocal gate, SLOWER — the exps
+    # are the cost), gatebf16 (bf16 gate, Mosaic verification error).
     diag = frozenset(diag.split(",")) if diag else frozenset()
 
     def kernel(*refs):
@@ -254,12 +259,14 @@ def _make_kernel(n_layers, taps, dilations, pad, guided, w_guidance,
                 return (jax.nn.sigmoid(acc[:, :c]) * jnp.tanh(acc[:, c:])
                         ).astype(bf)
 
-            # `wosplit` runs the out projection as two half-dots so the
-            # skip half accumulates straight into the running skip (a
-            # candidate for MXU accumulation instead of 15 VMEM
-            # round-trips of a (rows, C) f32 accumulator); the skip bias
-            # is then added once after the layer loop (f32 reorder only)
-            wosplit = "wosplit" in diag
+            # The out projection runs as two half-dots so the skip half
+            # accumulates straight into the running skip (MXU accumulation
+            # instead of 15 VMEM round-trips of a (rows, C) f32
+            # accumulator); the skip bias is then added once after the
+            # layer loop (f32 reorder only). Measured 0.1177 vs 0.1186 s
+            # on the B=1 CFG 200-step e2e — the DEFAULT; `nowosplit`
+            # restores the single-dot path for A/Bs.
+            wosplit = "nowosplit" not in diag
             chunked = len(chunks) > 1
 
             skips = [jnp.zeros((ch[1], c), jnp.float32) for ch in chunks]
