@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import inspect
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
@@ -447,15 +448,23 @@ class DiffusionTask:
         )
         data = 1 if mesh is None else int(mesh.shape.get("data", 1))
         if data > 1 and x_T.shape[0] % data == 0:
-            from jax.experimental.shard_map import shard_map
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
 
             dp, rep = P("data"), P()
+            # jax>=0.8 renamed check_rep -> check_vma; disabled either way
+            # (the kernel's replicated operands need no varying-axis check)
+            kw = ({"check_vma": False}
+                  if "check_vma" in inspect.signature(shard_map).parameters
+                  else {"check_rep": False})
             run = shard_map(
                 run, mesh=mesh,
                 in_specs=(dp, P(None, "data"), rep, rep, rep, rep,
                           rep if cond is None else dp),
-                out_specs=dp, check_rep=False,
+                out_specs=dp, **kw,
             )
         return run(x_T, noise, t_bias, tables, w, head, cond)
 
