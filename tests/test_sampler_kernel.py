@@ -105,6 +105,37 @@ def test_megakernel_matches_scan_path(tiny_model, name, steps, extra):
     assert rel < 0.05, (name, rel)
 
 
+@pytest.mark.parametrize("knobs", [
+    dict(hoist_cond=False),            # per-step conditioner projection
+    dict(diag="nowosplit"),            # single-dot out projection
+    dict(merge_taps=True, hoist_cond=False),  # concatenated-tap dot
+], ids=["nohoist", "nowosplit", "mergetaps"])
+def test_megakernel_offdefault_variants_match(tiny_model, knobs):
+    """The kernel's off-default A/B paths (per-step conditioner
+    projection, un-split out projection, merged-tap dot) must stay
+    trajectory-equivalent to the scan path — they exist for profiler
+    A/Bs (PROFILE_r03.md) and rot silently otherwise."""
+    import functools
+
+    import diffroll_tpu.ops.sampler_kernel as sk
+
+    model, params = tiny_model
+    wav = jax.random.normal(jax.random.key(1), (2, 32 * 512))
+    x_T = jax.random.normal(jax.random.key(2), (2, 32, 88))
+    cfg = TaskConfig(timesteps=12, sampling_type="cfdg_ddpm_x0", w=0.5)
+    a, _ = DiffusionTask(model, cfg.replace(use_megakernel=False)).sample(
+        params, x_T, jax.random.key(3), waveform=wav)
+    orig = sk.fused_sample_pallas
+    sk.fused_sample_pallas = functools.partial(orig, **knobs)
+    try:
+        b, _ = DiffusionTask(model, cfg.replace(use_megakernel=True)).sample(
+            params, x_T, jax.random.key(3), waveform=wav)
+    finally:
+        sk.fused_sample_pallas = orig
+    rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-6)
+    assert rel < 0.05, (knobs, rel)
+
+
 @pytest.mark.parametrize("u", [2, 4])
 def test_megakernel_step_unroll_matches(tiny_model, u):
     """steps_per_block unrolls u reverse steps per grid iteration (the
