@@ -221,10 +221,11 @@ def _make_kernel(n_layers, taps, dilations, pad, guided, w_guidance,
                 else:
                     x_buf[:] = h.astype(bf)
 
-            # `chunkbc` splits the stack into per-stream row chunks: each
-            # guidance stream's 15-layer chain is then fully independent
-            # until the skip merge, so Mosaic can overlap one stream's
-            # VPU gate with the other's MXU dots (measured -8% at B=1 CFG).
+            # `chunkbc` splits the stack into per-stream row chunks so each
+            # guidance stream's layer chain is independent until the skip
+            # merge, in principle letting Mosaic overlap one stream's VPU
+            # gate with the other's MXU dots — measured NEUTRAL at B=1 CFG
+            # (0.1193 vs 0.1186 s; Mosaic already overlaps), kept for A/Bs.
             # `chunkt2`/`chunkt4` additionally split each stream's frames
             # into 2/4 sub-chunks (ypad is written whole per stream first,
             # because dilated taps cross sub-chunk boundaries).
@@ -239,7 +240,6 @@ def _make_kernel(n_layers, taps, dilations, pad, guided, w_guidance,
                           for b in range(bc) for kt in range(nch_t)]
             else:
                 chunks = [(0, rows, 0, bc, 0)]
-            csz = chunks[0][1]
 
             def gate(acc):
                 if "nogate" in diag:
