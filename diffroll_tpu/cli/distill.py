@@ -67,6 +67,10 @@ def main(argv: Optional[List[str]] = None):
         ckpt = Checkpointer(run_dir / f"distilled_{n}steps" / "checkpoints")
         ckpt.save_last(TrainState.create(p, tx),
                        config=_common.config_record(stage_cfg))
+        # block until orbax's async commit finishes: exiting with saves
+        # in flight races interpreter shutdown ("cannot schedule new
+        # futures") and can leave a stage checkpoint uncommitted
+        ckpt.wait()
     print(json.dumps({
         "run_dir": str(run_dir),
         "stages": sorted(students, reverse=True),

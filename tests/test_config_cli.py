@@ -205,6 +205,13 @@ def test_cli_distill_then_eval(maps_tree, tmp_path):
     ])
     stage_ckpts = sorted(out.rglob("distilled_2steps/checkpoints"))
     assert stage_ckpts, "distill produced no stage checkpoint"
+    # saves must be COMMITTED by the time main() returns: without the
+    # explicit ckpt.wait(), orbax's async commit raced interpreter
+    # shutdown in the real CLI and left only state.orbax-checkpoint-tmp
+    assert (stage_ckpts[0] / "last" / "state").exists(), (
+        "stage checkpoint not committed at main() return")
+    assert not list((stage_ckpts[0] / "last").glob("*-tmp*")), (
+        "uncommitted orbax tmp dir left behind")
     m = test_cli.main([
         f"pretrained_path={stage_ckpts[0]}", "task.sampling_type=ddim_x0",
         "task.sampling_steps=2", "task.w=0",
