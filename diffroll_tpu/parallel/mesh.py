@@ -83,10 +83,25 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     On multi-host runs each process holds its OWN stripe of the global
     batch (DataLoader's process_index slicing), so the global array must be
     assembled from per-process shards — a bare device_put would misread the
-    local stripe as the full global array."""
+    local stripe as the full global array.
+
+    A TAIL batch whose leading dim does not divide the data axis (val/eval
+    loaders keep partial last batches; e.g. 1 leftover clip on a data=2
+    mesh) is placed REPLICATED instead — numerically identical, just
+    unsharded, and XLA reshards at dispatch. Single-process only:
+    multi-host tails cannot be assembled without cross-host exchange, so
+    size loaders to the data axis there (DataLoader drops to per-process
+    stripes already)."""
     s = batch_sharding(mesh)
+    data = int(mesh.shape.get("data", 1))
+    divisible = all(
+        getattr(x, "ndim", 0) == 0 or x.shape[0] % data == 0
+        for x in jax.tree_util.tree_leaves(batch))
     if jax.process_count() > 1:
         put = lambda x: jax.make_array_from_process_local_data(s, x)
-    else:
+    elif divisible:
         put = lambda x: jax.device_put(x, s)
+    else:
+        rep = NamedSharding(mesh, P())
+        put = lambda x: jax.device_put(x, rep)
     return jax.tree_util.tree_map(put, batch)

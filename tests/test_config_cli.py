@@ -122,6 +122,22 @@ def maps_tree(tmp_path):
     return tmp_path
 
 
+@pytest.fixture()
+def maestro_cli_tree(tmp_path):
+    """MAESTRO-v3 layout (year dirs + metadata json) for CLI e2e runs."""
+    d = tmp_path / "maestro-v3.0.0" / "2020"
+    d.mkdir(parents=True)
+    rows = {"split": {}, "audio_filename": {}, "midi_filename": {}}
+    for i, split in enumerate(["train", "train", "validation", "test"]):
+        make_clip(d / f"p{i}")
+        rows["split"][str(i)] = split
+        rows["audio_filename"][str(i)] = f"2020/p{i}.wav"
+        rows["midi_filename"][str(i)] = f"2020/p{i}.mid"
+    (tmp_path / "maestro-v3.0.0" / "maestro-v3.0.0.json").write_text(
+        json.dumps(rows))
+    return tmp_path
+
+
 TINY = [
     "model.residual_channels=16", "model.residual_layers=2",
     f"model.frames={FRAMES}", "task.timesteps=4",
@@ -185,6 +201,25 @@ def test_cli_generation_needs_no_audio(maps_tree, tmp_path):
         "num_samples=2", *_tiny_args(maps_tree, out),
     ])
     assert len(sorted(run_dir.glob("*.npz"))) >= 2
+
+
+def test_cli_train_test_maestro(maestro_cli_tree, tmp_path):
+    """The reference's other corpus end-to-end: `dataset.name=MAESTRO` on a
+    v3-layout tree drives train (with the metadata train/validation split)
+    and the standard eval (test split) through the same entries
+    (reference train_spec_roll.py:16-59 with config/dataset/MAESTRO.yaml)."""
+    from diffroll_tpu.cli import test as test_cli
+    from diffroll_tpu.cli import train as train_cli
+
+    out = tmp_path / "out"
+    train_cli.main(["spec_roll", "dataset.name=MAESTRO",
+                    *_tiny_args(maestro_cli_tree, out)])
+    ckpt = sorted(out.rglob("checkpoints"))[0]
+    metrics = json.loads(sorted(out.rglob("test_metrics.json"))[0].read_text())
+    assert metrics["n_clips"] == 1  # the tree's single test recording
+    m2 = test_cli.main([f"pretrained_path={ckpt}", "dataset.name=MAESTRO",
+                        *_tiny_args(maestro_cli_tree, out)])
+    assert 0.0 <= m2["frame_f1"] <= 1.0
 
 
 def test_cli_distill_then_eval(maps_tree, tmp_path):

@@ -44,6 +44,20 @@ def test_mesh_shapes():
         parallel.make_mesh(model=3)
 
 
+def test_shard_batch_tail_replicates():
+    """A tail batch whose leading dim does not divide the data axis (val
+    loaders keep partial last batches) must place REPLICATED instead of
+    raising the device_put divisibility error."""
+    mesh = parallel.make_mesh()
+    full = {"x": jnp.ones((8, 4)), "y": jnp.ones((8,))}
+    tail = {"x": jnp.ones((3, 4)), "y": jnp.ones((3,))}
+    sfull = parallel.shard_batch(mesh, full)
+    assert sfull["x"].sharding.spec == jax.sharding.PartitionSpec("data")
+    stail = parallel.shard_batch(mesh, tail)  # would raise before the fix
+    assert stail["x"].sharding.spec == jax.sharding.PartitionSpec()
+    np.testing.assert_array_equal(np.asarray(stail["x"]), np.ones((3, 4)))
+
+
 def test_dp_train_step_on_mesh(setup):
     model, params, task, batch = setup
     mesh = parallel.make_mesh()
