@@ -105,6 +105,23 @@ def test_megakernel_matches_scan_path(tiny_model, name, steps, extra):
     assert rel < 0.05, (name, rel)
 
 
+@pytest.mark.parametrize("name,w", [("ddpm_x0", 0.0), ("cfdg_ddpm_x0", 0.5)])
+def test_megakernel_batch_one(tiny_model, name, w):
+    """B=1 is the headline serving shape and the only bc=1 tile geometry
+    (unguided single stream): the flattened-row dots must stay
+    trajectory-equivalent to the scan path there too (bench b1_split_*)."""
+    model, params = tiny_model
+    wav = jax.random.normal(jax.random.key(1), (1, 32 * 512))
+    x_T = jax.random.normal(jax.random.key(2), (1, 32, 88))
+    cfg = TaskConfig(timesteps=12, sampling_type=name, w=w)
+    a, _ = DiffusionTask(model, cfg.replace(use_megakernel=False)).sample(
+        params, x_T, jax.random.key(3), waveform=wav)
+    b, _ = DiffusionTask(model, cfg.replace(use_megakernel=True)).sample(
+        params, x_T, jax.random.key(3), waveform=wav)
+    rel = float(jnp.abs(a - b).max()) / (float(jnp.abs(a).max()) + 1e-6)
+    assert rel < 0.05, (name, rel)
+
+
 @pytest.mark.parametrize("knobs", [
     dict(hoist_cond=False),            # per-step conditioner projection
     dict(diag="nowosplit"),            # single-dot out projection
