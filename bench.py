@@ -38,9 +38,14 @@ single JSON line:
 
 from __future__ import annotations
 
+import atexit
 import json
+import os
 import pathlib
+import signal
+import sys
 import tempfile
+import threading
 import time
 
 import numpy as np
@@ -49,6 +54,89 @@ import jax
 import jax.numpy as jnp
 
 BF16_PEAK_FLOPS = 197e12  # v5e per-chip bf16 peak
+
+# ---------------------------------------------------------------------------
+# Outage-proof harness (BENCH_r03 post-mortem): the TPU tunnel can (a) fail
+# backend init fast, (b) hang jax.devices()/dispatch indefinitely. r3 hit
+# both — the sampling section failed fast, the train section hung in backend
+# re-init, and the driver's `timeout` killed the process (rc 124) BEFORE the
+# single JSON line printed, losing the whole round's perf evidence. Rules:
+#   1. Preflight the backend in a SUBPROCESS with a hard timeout; a dead
+#      tunnel degrades to an immediate parseable JSON line, exit 0.
+#   2. Every section runs under a SIGALRM wall-clock budget; a mid-run hang
+#      becomes a `{section}_error: "timeout"` field, not a lost round.
+#   3. The JSON line is emitted exactly once from whichever of these fires
+#      first: normal completion, SIGTERM/SIGINT (the driver's `timeout`
+#      sends SIGTERM before SIGKILL), a global watchdog thread, or atexit.
+# Tunable: BENCH_GLOBAL_BUDGET_S (default 2400), BENCH_SKIP_PREFLIGHT=1.
+# ---------------------------------------------------------------------------
+
+_STATE = {"emitted": False, "dt": None, "extras": {}}
+_EMIT_LOCK = threading.Lock()
+
+
+def _emit_json_line() -> None:
+    """Print the single driver-parsed JSON line, exactly once."""
+    with _EMIT_LOCK:
+        if _STATE["emitted"]:
+            return
+        _STATE["emitted"] = True
+    dt = _STATE["dt"]
+    budget_s = 1.0  # north-star: < 1 s per 20.48 s clip (BASELINE.md:32)
+    print(json.dumps({
+        "metric": "e2e_transcription_latency_20s_clip",
+        "value": round(dt, 4) if dt else None,
+        "unit": "s",
+        "vs_baseline": round(budget_s / dt, 3) if dt else None,
+        "extras": _STATE["extras"],
+    }), flush=True)
+
+
+def _term_handler(signum, frame):
+    _STATE["extras"]["killed_by_signal"] = int(signum)
+    _emit_json_line()
+    os._exit(0)
+
+
+def run_section(name: str, fn, extras: dict, budget_s: float) -> object:
+    """Run one bench section in a daemon WORKER thread under a wall-clock
+    budget; failures and timeouts degrade to `{name}_error` fields.
+
+    Why a thread and not SIGALRM: the observed tunnel hang sits inside a C
+    call (backend init / grpc wait) in whichever thread runs it — a Python
+    signal handler only executes when the MAIN thread next runs bytecode,
+    so an in-main-thread hang makes SIGALRM *and* the driver's SIGTERM
+    silently undeliverable (verified live against a dead tunnel). With the
+    section in a worker thread, the main thread sits in an interruptible
+    join loop: budgets expire on time, SIGTERM flushes the JSON line, and
+    a hung section is abandoned (daemon) rather than wedging the process."""
+    t0 = time.perf_counter()
+    result = {}
+
+    def _target():
+        try:
+            result["out"] = fn(extras)
+        except BaseException as e:  # noqa: BLE001 - a bench section must not kill the run
+            result["err"] = f"{type(e).__name__}: {e}"[:300]
+
+    worker = threading.Thread(target=_target, name=f"bench-{name}",
+                              daemon=True)
+    worker.start()
+    deadline = t0 + budget_s
+    while worker.is_alive() and time.perf_counter() < deadline:
+        worker.join(timeout=1.0)
+    if worker.is_alive():
+        extras[f"{name}_error"] = f"timeout after {budget_s:.0f}s"
+        print(f"[bench] {name} TIMED OUT ({budget_s:.0f}s) — abandoning",
+              file=sys.stderr)
+        return None
+    if "err" in result:
+        extras[f"{name}_error"] = result["err"]
+        print(f"[bench] {name} FAILED: {result['err']}", file=sys.stderr)
+        return None
+    print(f"[bench] {name} done in {time.perf_counter()-t0:.0f}s: "
+          f"{extras}", file=sys.stderr)
+    return result.get("out")
 
 
 def timeit(fn, iters: int = 5, warmup: int = 1) -> float:
@@ -193,12 +281,17 @@ def bench_train(extras):
             pass
         return dt, flops
 
-    # default path (per-layer flax stack through XLA autodiff)
+    # default path (per-layer flax stack through XLA autodiff).
+    # Key naming (r4, ADVICE): steps and clips/sec are dtype-labeled;
+    # `train_step_ms_b16` keeps its r2 semantics (the f32 step) so
+    # cross-round trends stay apples-to-apples.
     dt32, flops32 = step_time("float32")
-    extras["train_step_ms_b16"] = round(dt32 * 1e3, 2)
+    extras["train_step_ms_b16"] = round(dt32 * 1e3, 2)  # legacy alias (f32)
+    extras["train_step_f32_ms_b16"] = round(dt32 * 1e3, 2)
+    extras["train_clips_per_sec_f32"] = round(B / dt32, 1)
     dt16, flops16 = step_time("bfloat16")
     extras["train_step_bf16_ms_b16"] = round(dt16 * 1e3, 2)
-    extras["train_clips_per_sec"] = round(B / dt16, 1)
+    extras["train_clips_per_sec_bf16"] = round(B / dt16, 1)
     # MFU labeled by the dtype of the step being divided (r2 mixed an f32
     # step time with the bf16 peak): each is XLA-counted step FLOPs over
     # (that step's time x the 197 TFLOP/s v5e bf16 peak)
@@ -314,42 +407,75 @@ def bench_host_pipeline(extras):
 
 
 def main():
-    import os
+    extras = _STATE["extras"]
+    atexit.register(_emit_json_line)
+    signal.signal(signal.SIGTERM, _term_handler)
+    signal.signal(signal.SIGINT, _term_handler)
+
+    # global watchdog: if anything wedges past the overall budget (the
+    # driver's own timeout is longer but finite), flush the line and die
+    # cleanly rather than rc-124 with nothing on stdout
+    global_budget = float(os.environ.get("BENCH_GLOBAL_BUDGET_S", "2400"))
+    t_start = time.perf_counter()
+
+    def _watchdog():
+        extras["global_timeout"] = True
+        print(f"[bench] GLOBAL BUDGET ({global_budget:.0f}s) exceeded — "
+              f"flushing partial results", file=sys.stderr)
+        _emit_json_line()
+        os._exit(0)
+
+    wd = threading.Timer(global_budget, _watchdog)
+    wd.daemon = True
+    wd.start()
+
+    # preflight: the target backend must come up in a SUBPROCESS within a
+    # hard timeout (in-process jax.devices() can hang forever on a dead
+    # tunnel). Skipped when the run is pinned to CPU.
+    platform = os.environ.get("JAX_PLATFORMS", "axon") or "cpu"
+    extras["platform"] = platform
+    if platform != "cpu" and os.environ.get("BENCH_SKIP_PREFLIGHT") != "1":
+        sys.path.insert(0, str(pathlib.Path(__file__).parent / "tools"))
+        from wait_tpu import probe_tpu
+        t0 = time.perf_counter()
+        up = probe_tpu(timeout=float(
+            os.environ.get("BENCH_PREFLIGHT_TIMEOUT_S", "90")))
+        print(f"[bench] preflight: backend "
+              f"{'UP' if up else 'UNAVAILABLE'} "
+              f"({time.perf_counter()-t0:.0f}s)", file=sys.stderr)
+        if not up:
+            extras["backend_unavailable"] = True
+            _emit_json_line()
+            return
 
     # persistent XLA cache: full-size programs compile in minutes over the
     # device tunnel; warm reruns reload in seconds
-    import sys
-
     path = os.path.expanduser("~/.cache/diffroll_tpu/xla")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    extras = {}
-    dt = None
+
     # sections are independent; a transient tunnel failure in one (the
     # remote compile service has dropped connections mid-run) must not
-    # lose the others' results — progress also streams to stderr
-    for name, fn in (("sampling", bench_sampling), ("train", bench_train),
-                     ("serve", bench_serve),
-                     ("host_pipeline", bench_host_pipeline)):
-        try:
-            t0 = time.perf_counter()
-            out = fn(extras)
-            if name == "sampling":
-                dt = out
-            print(f"[bench] {name} done in {time.perf_counter()-t0:.0f}s: "
-                  f"{extras}", file=sys.stderr)
-        except Exception as e:
-            extras[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
-            print(f"[bench] {name} FAILED: {e}", file=sys.stderr)
+    # lose the others' results — progress also streams to stderr. Each
+    # section gets a wall-clock budget, clipped to the time remaining
+    # under the global budget (60 s reserve for the flush).
+    only = os.environ.get("BENCH_SECTIONS")
+    sections = (("sampling", bench_sampling, 1200.0),
+                ("train", bench_train, 900.0),
+                ("serve", bench_serve, 600.0),
+                ("host_pipeline", bench_host_pipeline, 300.0))
+    for name, fn, budget in sections:
+        if only and name not in only.split(","):
+            continue
+        remaining = global_budget - (time.perf_counter() - t_start) - 60.0
+        if remaining <= 0:
+            extras[f"{name}_error"] = "skipped: global budget exhausted"
+            continue
+        out = run_section(name, fn, extras, min(budget, remaining))
+        if name == "sampling" and out is not None:
+            _STATE["dt"] = out
 
-    budget_s = 1.0  # north-star: < 1 s per 20.48 s clip
-    print(json.dumps({
-        "metric": "e2e_transcription_latency_20s_clip",
-        "value": round(dt, 4) if dt else None,
-        "unit": "s",
-        "vs_baseline": round(budget_s / dt, 3) if dt else None,
-        "extras": extras,
-    }))
+    _emit_json_line()
 
 
 if __name__ == "__main__":
