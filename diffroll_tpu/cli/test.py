@@ -98,7 +98,14 @@ def run_test(cfg, model, task, state, artifacts_dir=None,
             per_thr[thr].append(m)
         n_clips += weight
 
-    eval_ov = int(getattr(cfg.dataset, "eval_overlap_frames", 0))
+    # clamp to the dataset's effective geometry: PairedAudioMidi clamps the
+    # overlap to win_frames-1 when placing window starts (data/amt.py:151),
+    # so the stitch stride must shrink identically or short-sequence
+    # configs (win_frames <= overlap) silently misalign before scoring
+    win_cfg = max(int(cfg.dataset.sequence_length)
+                  // int(cfg.dataset.hop_length), 1)
+    eval_ov = min(max(int(getattr(cfg.dataset, "eval_overlap_frames", 0)), 0),
+                  win_cfg - 1)
 
     def finalize(ent):
         starts = sorted(ent["pred"])
@@ -164,6 +171,10 @@ def run_test(cfg, model, task, state, artifacts_dir=None,
         out = {k: float(np.sum([m[k] * w for m, w in zip(all_metrics, weights)]))
                for k in all_metrics[0]}
         out["n_clips"] = n_clips
+        # self-describing eval protocol: published tables must say which
+        # window-stitch geometry produced them (r3 changed the default to
+        # 32-frame overlap, worth +1.35 note F1 vs butted tiles)
+        out["eval_overlap_frames"] = eval_ov
         return out
 
     results = {t: reduce(ms) for t, ms in per_thr.items()}

@@ -134,11 +134,17 @@ class DiffRollModel:
             # to single-pass MXU precision — their conditioner feeds bf16
             # convs, so the residual DFT error sits below bf16 resolution
             # after log + min-max (tests/test_mel.py bounds it).
+            # the conv path requires hop_length | n_fft (it reshapes audio
+            # into hop chunks, dsp/mel.py:178); non-dividing geometries
+            # (e.g. hop=160, n_fft=2048) fall back to the matmul DFT, which
+            # also avoids the framing gather
+            conv = "conv" if mel_cfg.n_fft % mel_cfg.hop_length == 0 \
+                else "matmul"
             if c.dtype in (jnp.bfloat16, "bfloat16"):
-                mel_cfg = dataclasses.replace(mel_cfg, method="conv",
+                mel_cfg = dataclasses.replace(mel_cfg, method=conv,
                                               precision="default")
             elif jax.default_backend() == "tpu":
-                mel_cfg = dataclasses.replace(mel_cfg, method="conv",
+                mel_cfg = dataclasses.replace(mel_cfg, method=conv,
                                               precision="highest")
         self.mel = MelSpectrogram(mel_cfg) if c.cond_source == "spec" else None
 

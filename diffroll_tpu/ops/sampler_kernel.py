@@ -427,6 +427,13 @@ def fused_sample_pallas(
     bc = 2 * tile if guided else tile
 
     if hoist_cond is None:
+        # NUMERICS CAVEAT: the hoisted path rounds the per-layer
+        # conditioner projection (+bias) to bf16 ONCE in scratch, whereas
+        # the per-step path accumulates the bias in f32 every step — and
+        # because this auto-enable is a VMEM-SIZE heuristic, the same
+        # checkpoint can produce slightly different trajectories across
+        # model sizes / batch tiles. Bit-level A/B comparisons must pin
+        # `hoist_cond` explicitly; parity tests bound the drift at 5% rel.
         # resident weights (bf16 stack + f32 heads/biases) + the scratch
         # + ~14 MB for blocks/activation temporaries must fit in 127 MB
         # (measured: the flagship guided bc=2 tile fits and wins ~9%;

@@ -467,6 +467,41 @@ def test_cli_test_overlapped_eval_windows(tmp_path):
     metrics = run_test(cfg, model, task, state)
     assert metrics["n_clips"] == 2  # recordings, not windows
     assert 0.0 <= metrics["frame_f1"] <= 1.0
+    # the protocol is self-describing: published tables carry the geometry
+    assert metrics["eval_overlap_frames"] == 8
+
+
+def test_cli_test_overlap_clamped_to_window(tmp_path):
+    """An eval overlap >= win_frames is clamped to win_frames-1 exactly as
+    the dataset clamps it when placing window starts (data/amt.py:151) —
+    the stitch stride must match the dataset geometry or short-sequence
+    configs silently misalign predictions before scoring."""
+    import jax
+
+    from diffroll_tpu.cli import _common
+    from diffroll_tpu.cli.test import run_test
+    from diffroll_tpu.train.state import TrainState, make_optimizer
+
+    d = tmp_path / "MAPS" / "ENSTDkAm" / "MUS"
+    d.mkdir(parents=True)
+    make_clip(d / "clip0", seconds=2.2 * SEQ / SR)
+
+    cfg = compose("test", dict(zip(
+        ["model.residual_channels", "model.residual_layers", "model.frames",
+         "task.timesteps", "dataloader.test_batch_size",
+         "dataloader.num_workers", "dataset.sequence_length",
+         "dataset.root", "trainer.output_dir",
+         "dataset.eval_overlap_frames"],
+        [8, 2, FRAMES, 4, 2, 1, SEQ, str(tmp_path), str(tmp_path / "out"),
+         FRAMES + 10])))  # overlap exceeds the window
+    model, task = _common.setup_model_task(cfg)
+    params = model.init(jax.random.key(0))
+    state = TrainState.create(params, make_optimizer(1e-4))
+
+    metrics = run_test(cfg, model, task, state)
+    assert metrics["n_clips"] == 1
+    assert metrics["eval_overlap_frames"] == FRAMES - 1  # clamped
+    assert 0.0 <= metrics["frame_f1"] <= 1.0
 
 
 def test_cli_p_sweep_trains_per_point(maps_tree, tmp_path):

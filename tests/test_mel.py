@@ -188,6 +188,27 @@ def test_bf16_model_auto_selects_conv_mel():
     assert pinned.mel.config.precision == "highest"
 
 
+def test_mel_auto_select_guards_conv_divisibility():
+    """The conv auto-switch requires hop_length | n_fft; a geometry like
+    hop=160 (which the conv path rejects at call time) must fall back to
+    the matmul DFT instead of raising on the first mel call."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from diffroll_tpu import models
+    from diffroll_tpu.dsp.mel import MelConfig
+
+    mel = MelConfig(hop_length=160, n_fft=2048)
+    assert mel.n_fft % mel.hop_length != 0
+    m = models.build("ClassifierFreeDiffRoll", residual_channels=8,
+                     residual_layers=1, frames=32, dtype="bfloat16", mel=mel)
+    assert m.mel.config.method == "matmul"
+    # and the conditioner actually evaluates
+    spec = m.conditioner(waveform=jnp.zeros((1, 32 * 160)))
+    assert spec.shape == (1, 32, m.config.n_mels)
+
+
 def test_conv_mel_matches_fft():
     """The strided-conv DFT path (TPU default) matches the FFT path to
     float tolerance at full precision — same contract as the matmul path,
