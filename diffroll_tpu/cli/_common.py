@@ -113,6 +113,12 @@ def load_pretrained(
     """
     if not cfg.pretrained_path:
         raise SystemExit("pretrained_path=<checkpoint dir> is required")
+    if pathlib.Path(cfg.pretrained_path).suffix == ".ckpt":
+        # a PyTorch-Lightning file (e.g. a published Zenodo checkpoint,
+        # reference README.md:110): convert in place so
+        # `python -m diffroll_tpu test pretrained_path=x.ckpt` is the
+        # complete one-command parity recipe
+        return _load_lightning_pretrained(cfg, overrides)
     ckpt = Checkpointer(cfg.pretrained_path)
     stored = ckpt.peek_config()
     model_cfg = stored.get("model", cfg.model)
@@ -143,6 +149,58 @@ def load_pretrained(
         if ema is not None:
             state = TrainState(step=state.step, params=ema,
                                opt_state=state.opt_state)
+    return cfg, model, task, state
+
+
+def _load_lightning_pretrained(
+    cfg: ExperimentConfig,
+    overrides: Optional[Dict[str, Any]] = None,
+) -> Tuple[ExperimentConfig, Any, DiffusionTask, TrainState]:
+    """`pretrained_path=<file>.ckpt`: convert a Lightning checkpoint and
+    adopt its hparams with the same precedence as the orbax path —
+    architecture + recorded task knobs from the checkpoint, explicit CLI
+    dotted overrides on top (reference test.py:29-36 ladder)."""
+    from ..compat import load_lightning
+    from ..config import apply_overrides
+
+    model_cfg, task_updates, params = load_lightning(
+        cfg.pretrained_path, cfg.model_name)
+    over = overrides or {}
+    model_over = {k[len("model."):]: v for k, v in over.items()
+                  if k.startswith("model.")}
+    if model_over:
+        model_cfg = apply_overrides(model_cfg, model_over)
+    # recorded task knobs (sampler, thresholds, schedule) apply first;
+    # the user's explicit task.* keys win — timesteps always follows the
+    # model's embedding table
+    task_updates = {k: v for k, v in task_updates.items()
+                    if f"task.{k}" not in over}
+    task_cfg = cfg.task.replace(**task_updates)
+    task_cfg = task_cfg.replace(timesteps=model_cfg.timesteps)
+    cfg = cfg.replace(model=model_cfg, task=task_cfg)
+    model, task = setup_model_task(cfg)
+    tx = make_optimizer(task_lr(cfg))
+
+    # converted trees must match a fresh init leaf-for-leaf — catch layout
+    # or scale mismatches here, not as a cryptic apply-time error
+    expect = jax.eval_shape(model.init, jax.random.key(0))
+    got = {p: l.shape for p, l in
+           jax.tree_util.tree_leaves_with_path(params)}
+    want = {p: l.shape for p, l in
+            jax.tree_util.tree_leaves_with_path(expect)}
+    if got != want:
+        missing = sorted(set(map(jax.tree_util.keystr, set(want) - set(got))))
+        extra = sorted(set(map(jax.tree_util.keystr, set(got) - set(want))))
+        shapes = [f"{jax.tree_util.keystr(p)}: {got[p]} != {want[p]}"
+                  for p in set(got) & set(want) if got[p] != want[p]]
+        raise SystemExit(
+            "converted checkpoint does not match the model architecture\n"
+            + "\n".join(f"  missing: {m}" for m in missing)
+            + "\n".join(f"  extra: {e}" for e in extra)
+            + "\n".join(f"  shape {s}" for s in shapes))
+    params = jax.tree_util.tree_map(
+        lambda l, s: l.astype(s.dtype), params, expect)
+    state = TrainState.create(params, tx)
     return cfg, model, task, state
 
 

@@ -13,6 +13,7 @@ F1, :412-427 indentation bug) every clip is scored.
 from __future__ import annotations
 
 import json
+import pathlib
 import sys
 from typing import Dict, List, Optional
 
@@ -192,7 +193,12 @@ def main(argv: Optional[List[str]] = None):
     # the wrong grid) so silent quality loss is visible
     from ..train import Checkpointer
 
-    stored_task = Checkpointer(cfg.pretrained_path).peek_config().get("task")
+    if pathlib.Path(cfg.pretrained_path).suffix == ".ckpt":
+        stored_task = None  # Lightning file: recorded sampler already
+        # adopted by _load_lightning_pretrained (CLI keys win)
+    else:
+        stored_task = Checkpointer(cfg.pretrained_path).peek_config().get(
+            "task")
     if stored_task is not None:
         # w routinely changes between train and eval (the reference's own
         # flow), so compare only the sampler identity/grid

@@ -23,11 +23,100 @@ so they are skipped.
 
 from __future__ import annotations
 
+import dataclasses
+import io
+import pickle
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
 from ..models.base import DiffRollConfig
+
+# ---------------------------------------------------------------------------
+# Tolerant unpickling: real Zenodo checkpoints were written by Hydra +
+# PyTorch-Lightning, so their `hyper_parameters` blob pickles omegaconf
+# containers (DictConfig for spec_args/training/sampling, ListConfig for
+# norm_args/loss_keys) and Lightning's AttributeDict — none of which are
+# installed here. find_class falls back to a dict-backed stub for any
+# missing class, and `plain_hparams` then coerces omegaconf's internal
+# layout (`_content` dicts of ValueNodes carrying `_val`) to plain Python.
+# ---------------------------------------------------------------------------
+
+
+class _Stub(dict):
+    """Stand-in for an unimportable pickled class. Subclasses dict so the
+    unpickler's BUILD/SETITEMS opcodes (dict-subclass state like Lightning's
+    AttributeDict) apply directly; object state is merged into the dict."""
+
+    def __setstate__(self, state):
+        if isinstance(state, tuple):  # (state, slotstate)
+            merged = {}
+            for part in state:
+                if part:
+                    merged.update(part)
+            state = merged
+        if isinstance(state, dict):
+            self.update(state)
+
+    # list-subclass pickles append items instead of setting state
+    def append(self, v):
+        self.setdefault("_list_items", []).append(v)
+
+    def extend(self, vs):
+        self.setdefault("_list_items", []).extend(vs)
+
+
+_STUB_CACHE: Dict[Tuple[str, str], type] = {}
+
+
+def _make_stub(module: str, name: str) -> type:
+    key = (module, name)
+    if key not in _STUB_CACHE:
+        _STUB_CACHE[key] = type(name, (_Stub,), {"__module__": module})
+    return _STUB_CACHE[key]
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            return _make_stub(module, name)
+
+
+class _TolerantPickleModule:
+    """Duck-typed `pickle_module` for torch.load."""
+
+    Unpickler = _TolerantUnpickler
+
+    @staticmethod
+    def load(f, **kw):
+        return _TolerantUnpickler(f, **kw).load()
+
+    @staticmethod
+    def loads(b, **kw):
+        return _TolerantUnpickler(io.BytesIO(b), **kw).load()
+
+
+def plain_hparams(obj: Any) -> Any:
+    """Recursively coerce stubbed omegaconf/Lightning containers to plain
+    Python values: DictConfig -> its `_content` dict, ValueNode -> `_val`,
+    ListConfig -> list, AttributeDict -> dict; metadata is dropped."""
+    if isinstance(obj, _Stub):
+        d = dict(obj)
+        if "_content" in d:
+            return plain_hparams(d["_content"])
+        if "_val" in d:
+            return plain_hparams(d["_val"])
+        if "_list_items" in d:
+            return plain_hparams(d["_list_items"])
+        return {k: plain_hparams(v) for k, v in d.items()
+                if not k.startswith("_")}
+    if isinstance(obj, dict):
+        return {k: plain_hparams(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [plain_hparams(v) for v in obj]
+    return obj
 
 # state_dict entries that are recomputed buffers, not weights
 _SKIP_PREFIXES = (
@@ -123,7 +212,62 @@ def config_from_hparams(
     if "norm_args" in hparams and hparams["norm_args"] is not None:
         na = list(hparams["norm_args"])
         updates["norm_args"] = (float(na[0]), float(na[1]), str(na[2]))
+    # the nested spec_args blob (reference: ClassifierFreeDiffRoll is
+    # constructed with spec_args=cfg.spec.args, train_spec_roll.py:29-30,
+    # captured by save_hyperparameters) carries the torchaudio
+    # MelSpectrogram kwargs -> our MelConfig
+    spec = hparams.get("spec_args") or {}
+    if spec:
+        mel_map = {"sample_rate": int, "n_fft": int, "hop_length": int,
+                   "n_mels": int, "f_min": float, "f_max": float,
+                   "center": bool, "normalized": bool, "pad_mode": str,
+                   "power": float, "win_length": int}
+        mel_updates = {k: cast(spec[k]) for k, cast in mel_map.items()
+                       if spec.get(k) is not None}
+        updates["mel"] = dataclasses.replace(cfg.mel, **mel_updates)
+        if "n_mels" in mel_updates:
+            updates["n_mels"] = mel_updates["n_mels"]
     return cfg.replace(**updates)
+
+
+def task_updates_from_hparams(hparams: Dict[str, Any]) -> Dict[str, Any]:
+    """Task-level knobs recorded in a Lightning checkpoint (the reference
+    passes **cfg.task into the model ctor, train_spec_roll.py:29-30), as a
+    dict of TaskConfig field updates."""
+    out: Dict[str, Any] = {}
+    flat = {"timesteps": int, "beta_start": float, "beta_end": float,
+            "loss_type": str, "frame_threshold": float, "lr": float}
+    for k, cast in flat.items():
+        if hparams.get(k) is not None:
+            out[k] = cast(hparams[k])
+    if hparams.get("loss_keys"):
+        out["loss_keys"] = tuple(hparams["loss_keys"])
+    training = hparams.get("training") or {}
+    if training.get("mode"):
+        out["training_mode"] = str(training["mode"])
+    sampling = hparams.get("sampling") or {}
+    if sampling.get("type"):
+        out["sampling_type"] = str(sampling["type"])
+    if sampling.get("w") is not None:
+        out["w"] = float(sampling["w"])
+    return out
+
+
+def _read_ckpt(path: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """torch.load with the tolerant pickle module -> (hparams, state_dict).
+    Works on real Hydra/Lightning checkpoints even though omegaconf and
+    pytorch_lightning are not installed (their pickled containers stub to
+    dicts and are coerced by plain_hparams)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False,
+                      pickle_module=_TolerantPickleModule)
+    state_dict = ckpt.get("state_dict", ckpt)
+    raw = ckpt.get("hyper_parameters", {})
+    hparams = plain_hparams(raw)
+    if not isinstance(hparams, dict):
+        hparams = {}
+    return hparams, state_dict
 
 
 def load_torch_checkpoint(
@@ -134,10 +278,18 @@ def load_torch_checkpoint(
     """Load a Lightning .ckpt -> (DiffRollConfig, {'params': pytree}),
     with the reference's override-hparams-at-load semantic
     (reference test.py:29-36)."""
-    import torch
-
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    state_dict = ckpt.get("state_dict", ckpt)
-    hparams = dict(ckpt.get("hyper_parameters", {}))
+    hparams, state_dict = _read_ckpt(path)
     cfg = config_from_hparams(hparams, model_name).replace(**config_overrides)
     return cfg, {"params": convert_state_dict(state_dict)}
+
+
+def load_lightning(
+    path: str, model_name: str = "ClassifierFreeDiffRoll",
+) -> Tuple[DiffRollConfig, Dict[str, Any], Dict[str, Any]]:
+    """Full Lightning-checkpoint adoption for the CLI path
+    (`pretrained_path=<file>.ckpt`): returns (model config, TaskConfig
+    field updates recorded in the checkpoint, {'params': pytree})."""
+    hparams, state_dict = _read_ckpt(path)
+    cfg = config_from_hparams(hparams, model_name)
+    return cfg, task_updates_from_hparams(hparams), {
+        "params": convert_state_dict(state_dict)}

@@ -10,6 +10,7 @@ gating order in one shot.
 """
 
 import math
+import pathlib
 
 import numpy as np
 import pytest
@@ -283,3 +284,114 @@ def test_sampler_trajectory_parity_vs_torch_oracle(torch_model, use_fused):
         np.testing.assert_allclose(
             traj_jax[i], traj_ref[i].numpy(), atol=5e-4, rtol=1e-3,
             err_msg=f"trajectory diverged at reverse step {i}")
+
+
+# ------------------------------------------------------------------ fixture
+
+FIXTURE = pathlib.Path(__file__).parent / "fixtures" / "lightning_small.ckpt"
+
+
+def test_lightning_fixture_loads_without_omegaconf():
+    """The committed Lightning-style fixture (structurally a Zenodo ckpt:
+    AttributeDict hparams holding pickled omegaconf DictConfig/ListConfig,
+    Lightning bookkeeping keys, buffer-bearing state_dict) loads via the
+    tolerant unpickler even though omegaconf/pytorch_lightning are NOT
+    installed, and every hparam coerces to a plain Python value."""
+    import importlib.util
+
+    assert importlib.util.find_spec("omegaconf") is None, (
+        "test precondition: omegaconf must be absent for the stub path")
+
+    from diffroll_tpu.compat import load_lightning
+
+    cfg, task_updates, params = load_lightning(str(FIXTURE))
+
+    # model args (flat hparams)
+    assert cfg.residual_channels == C
+    assert cfg.residual_layers == LAYERS
+    assert cfg.kernel_size == K
+    assert cfg.dilation_bound == 2
+    assert cfg.spec_dropout == 0.1
+    assert cfg.norm_args == (0.0, 1.0, "imagewise")   # ListConfig
+    # nested spec_args DictConfig -> MelConfig
+    assert cfg.n_mels == N_MELS
+    assert cfg.mel.n_mels == N_MELS
+    assert cfg.mel.hop_length == 512
+    assert cfg.mel.n_fft == 2048
+    assert cfg.mel.f_max == 8000.0
+    # task knobs (incl. nested sampling/training DictConfigs)
+    assert cfg.timesteps == MAX_STEPS
+    assert task_updates["sampling_type"] == "cfdg_ddpm_x0"
+    assert task_updates["w"] == 0.5
+    assert task_updates["frame_threshold"] == 0.65
+    assert task_updates["training_mode"] == "x_0"
+    assert task_updates["loss_keys"] == ("diffusion_loss",)
+    assert task_updates["lr"] == 1e-5
+
+    # buffers skipped, weights converted
+    names = set(params["params"])
+    assert "betas" not in names and "mel_layer" not in str(names)
+    assert "residual_layers_0" in names
+
+
+def test_lightning_fixture_forward_parity():
+    """Weights from the fixture drive the flax net to the same output as
+    the torch oracle restored from the same state_dict."""
+    from diffroll_tpu.compat import load_torch_checkpoint
+
+    cfg, params = load_torch_checkpoint(str(FIXTURE))
+    net = DiffRollNet(
+        residual_channels=C, residual_layers=LAYERS, kernel_size=K,
+        dilation_base=2, dilation_bound=2, max_steps=MAX_STEPS,
+        n_mels=N_MELS,
+    )
+    sd = torch.load(str(FIXTURE), map_location="cpu",
+                    weights_only=False,
+                    pickle_module=__import__(
+                        "diffroll_tpu.compat.torch_ckpt",
+                        fromlist=["_TolerantPickleModule"]
+                    )._TolerantPickleModule)["state_dict"]
+    oracle = TorchDiffRoll().eval()
+    oracle.load_state_dict(
+        {k: v for k, v in sd.items() if k in oracle.state_dict()})
+
+    rng = np.random.RandomState(5)
+    roll = rng.randn(2, T_FRAMES, 88).astype(np.float32)
+    cond = rng.randn(2, T_FRAMES, N_MELS).astype(np.float32)
+    t = np.array([1, 9])
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(roll), torch.from_numpy(t),
+                     torch.from_numpy(cond)).numpy()
+    ours = np.asarray(net.apply(params, jnp.asarray(roll), jnp.asarray(t),
+                                jnp.asarray(cond)))
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_cli_test_on_lightning_ckpt(tmp_path):
+    """The one-command Zenodo recipe: `python -m diffroll_tpu test
+    pretrained_path=<file>.ckpt` auto-detects the Lightning file, converts,
+    adopts recorded hparams (sampler w=0.5, frame_threshold=0.65), and
+    scores — no separate conversion step (reference test.py:18-50)."""
+    from diffroll_tpu.cli import test as test_cli
+    from diffroll_tpu.io import write_midi, write_wav
+
+    SR, HOP = 16000, 512
+    frames = 16  # T_FRAMES of the oracle fixture
+    seq = frames * HOP
+    d = tmp_path / "MAPS" / "ENSTDkAm" / "MUS"
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        write_wav(d / f"c{i}.wav", rng.randn(seq).astype(np.float32) * 0.1,
+                  SR)
+        write_midi(str(d / f"c{i}.mid"), [60, 64], [(0.1, 0.4), (0.5, 0.9)])
+
+    metrics = test_cli.main([
+        f"pretrained_path={FIXTURE}",
+        f"dataset.root={tmp_path}", f"dataset.sequence_length={seq}",
+        f"model.frames={frames}",
+        "dataloader.test_batch_size=2", "dataloader.num_workers=1",
+        f"trainer.output_dir={tmp_path / 'out'}",
+    ])
+    assert 0.0 <= metrics["frame_f1"] <= 1.0
+    assert metrics["n_clips"] == 2
