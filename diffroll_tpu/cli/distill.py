@@ -47,7 +47,19 @@ def main(argv: Optional[List[str]] = None):
 
     def batches():
         while True:
-            yield from loader
+            got = False
+            for b in loader:
+                got = True
+                yield b
+            if not got:
+                # without this an empty epoch (dataset smaller than the
+                # batch size under the train loader's drop_last) spins
+                # this while-loop forever instead of failing loudly
+                raise RuntimeError(
+                    f"train loader yielded no batches ({len(train_ds)} "
+                    f"items, batch_size="
+                    f"{cfg.dataloader.train_batch_size}, drop_last) — "
+                    "shrink dataloader.train_batch_size or add data")
 
     run_dir = _common.make_run_dir(cfg, "distill")
     print(f"run dir: {run_dir}", file=sys.stderr)

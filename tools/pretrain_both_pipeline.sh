@@ -21,7 +21,7 @@ SMOKE="${1:-}"
 if [ "$SMOKE" = "smoke" ]; then
   PAIRED=/tmp/smoke_paired; UNPAIRED=/tmp/smoke_unpaired
   OUT=outputs/pretrain_both_smoke
-  N1=6; N1T=2; N2=8; N2T=2
+  N1=8; N1T=2; N2=8; N2T=2  # >= train batch 8: drop_last would starve distill
   MODEL="model.residual_channels=8 model.residual_layers=2 task.timesteps=4
          model.frames=64 dataset.sequence_length=32768"
   SEQ2=32768
