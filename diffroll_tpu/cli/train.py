@@ -39,10 +39,18 @@ def main(argv: Optional[List[str]] = None):
     if cfg.pretrained_path:
         cfg, model, task, state = _common.load_pretrained(cfg, prefer_ema=False,
                                                            overrides=overrides)
-        tx = make_optimizer(_common.task_lr(cfg))
+        tx = make_optimizer(_common.task_lr(cfg),
+                            cfg.trainer.adam_moments_dtype)
+        if cfg.trainer.adam_moments_dtype:
+            # the restored opt_state carries f32 moments; packed-moment
+            # fine-tuning starts the optimizer fresh (the reference's
+            # load_from_checkpoint does not restore the optimizer either)
+            state = TrainState(step=state.step, params=state.params,
+                               opt_state=tx.init(state.params))
     else:
         model, task = _common.setup_model_task(cfg)
-        tx = make_optimizer(_common.task_lr(cfg))
+        tx = make_optimizer(_common.task_lr(cfg),
+                            cfg.trainer.adam_moments_dtype)
         params = model.init(jax.random.key(cfg.trainer.seed))
         state = TrainState.create(params, tx)
 

@@ -92,6 +92,14 @@ class TrainerConfig:
     # exponential moving average of params (no reference counterpart;
     # standard practice for diffusion-model eval quality). None = off.
     ema_decay: Optional[float] = None
+    # train-step overhead experiments (opt-in; defaults measured-safe):
+    # store Adam moments in bf16 with stochastic rounding (halves the
+    # optimizer's HBM traffic; train/state.fused_adam_apply)
+    adam_moments_dtype: Optional[str] = None
+    # PRNG implementation for the training noise stream ('rbg' is faster
+    # on TPU than the default threefry; key impl propagates through every
+    # split/fold_in inside the step)
+    rng_impl: Optional[str] = None
 
     def replace(self, **kw) -> "TrainerConfig":
         return dataclasses.replace(self, **kw)

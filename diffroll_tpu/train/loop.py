@@ -76,7 +76,10 @@ def fit(
     """
     step_fn = make_train_step(task.loss_fn, tx, mesh=mesh, state_example=state)
     eval_fn = make_eval_step(task.loss_fn)
-    key = jax.random.key(trainer.seed)
+    # the key's impl propagates through every split/fold_in inside the
+    # step, so this single choice switches the whole training noise stream
+    key = (jax.random.key(trainer.seed, impl=trainer.rng_impl)
+           if trainer.rng_impl else jax.random.key(trainer.seed))
 
     # EMA of params (TrainerConfig.ema_decay): tracked beside the state,
     # saved as a checkpoint extra, preferred at eval time when present

@@ -210,6 +210,46 @@ def main():
 
         scan_time(rngonly, jnp.zeros(()), xs, f"rng_qsample{sfx}", results)
 
+        # --- 10. overhead candidates (VERDICT r3 #4): bf16 Adam moments
+        # with stochastic rounding (halves moment HBM traffic) and the rbg
+        # PRNG for the training noise stream — each alone and combined,
+        # plus their isolated slices, so the A/B is one command ----------
+        tx16 = make_optimizer(5e-5, moments_dtype="bfloat16")
+        state16 = TrainState.create(params, tx16)
+
+        def opt_apply16(state, grads):
+            new_p, opt = fused_adam_apply(tx16, state.params, grads,
+                                          state.opt_state)
+            return TrainState(step=state.step + 1, params=new_p,
+                              opt_state=opt)
+
+        def full_packed(state, x):
+            batch, key = x
+            (_, (losses, _)), grads = jax.value_and_grad(
+                lambda p: task.loss_fn(p, batch, key, True), has_aux=True
+            )(state.params)
+            return opt_apply16(state, grads), losses["diffusion_loss"]
+
+        scan_time(full_packed, state16, xs,
+                  f"full_step_packed_moments{sfx}", results)
+
+        keys_rbg = jax.random.split(jax.random.key(3, impl="rbg"), K)
+        xs_rbg = (batches, keys_rbg)
+        scan_time(full, state, xs_rbg, f"full_step_rbg{sfx}", results)
+        scan_time(full_packed, state16, xs_rbg,
+                  f"full_step_packed_rbg{sfx}", results)
+
+        def optonly16(state, key):
+            eps = jax.random.uniform(key, ())
+            g = jax.tree_util.tree_map(lambda x: x * (1.0 + 0 * eps) + eps * 0,
+                                       grads0)
+            return opt_apply16(state, g), state.step
+
+        scan_time(optonly16, state16, keys,
+                  f"adam_update_packed{sfx}", results)
+        scan_time(rngonly, jnp.zeros(()), xs_rbg,
+                  f"rng_qsample_rbg{sfx}", results)
+
     # --- mel variants (per-step distinct audio) ----------------------------
     print("=== mel variants ===")
     from diffroll_tpu.dsp.mel import MelSpectrogram, MelConfig, log_mel
