@@ -102,7 +102,10 @@ def main(argv: Optional[List[str]] = None):
 
             save_trajectory_gif(traj, run_dir / "denoising.gif")
         names = batch.get("file_name") or [f"clip_{idx + j}" for j in range(bsz)]
-        for j in range(bsz):
+        # num_samples caps EVERY mode (reference sampling.py:26-27 draws
+        # exactly S noise tensors; before r4 only generation honored it and
+        # a dataset-driven run sampled the entire split)
+        for j in range(min(bsz, cfg.num_samples - idx)):
             name = str(names[j]).rsplit(".", 1)[0]
             n_notes = export_clip(
                 run_dir, f"{idx + j:03d}_{name}", x0[j], cfg,
@@ -110,7 +113,7 @@ def main(argv: Optional[List[str]] = None):
             )
             manifest.append({"clip": name, "notes": n_notes})
         idx += bsz
-        if idx >= cfg.num_samples and generation:
+        if idx >= cfg.num_samples:
             break
 
     (run_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
