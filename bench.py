@@ -460,9 +460,13 @@ def main():
     # section gets a wall-clock budget, clipped to the time remaining
     # under the global budget (60 s reserve for the flush).
     only = os.environ.get("BENCH_SECTIONS")
-    sections = (("sampling", bench_sampling, 1200.0),
-                ("train", bench_train, 900.0),
-                ("serve", bench_serve, 600.0),
+    # budgets assume a warm persistent cache; a cold cache (fresh VM) needs
+    # BENCH_SECTION_SCALE>1 (compiles alone run 5-13 min per full-size
+    # program over the tunnel)
+    scale = float(os.environ.get("BENCH_SECTION_SCALE", "1"))
+    sections = (("sampling", bench_sampling, 1200.0 * scale),
+                ("train", bench_train, 900.0 * scale),
+                ("serve", bench_serve, 600.0 * scale),
                 ("host_pipeline", bench_host_pipeline, 300.0))
     for name, fn, budget in sections:
         if only and name not in only.split(","):
