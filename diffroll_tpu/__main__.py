@@ -21,6 +21,19 @@ import sys
 COMMANDS = {}
 
 
+def _resolve_platform(value, env_platforms):
+    """Map the user-facing `platform=` value to a registered jax backend.
+
+    `platform=tpu` means "the hardware TPU this host registers" — which may
+    live under a custom PJRT plugin name (e.g. a tunneled chip registered as
+    'axon' via JAX_PLATFORMS in sitecustomize). Everything else (cpu, an
+    explicit plugin name) passes through verbatim.
+    """
+    if value == "tpu" and env_platforms and env_platforms != "cpu":
+        return env_platforms
+    return value
+
+
 def _dispatch(argv):
     # `platform=cpu|tpu` pins the jax backend before first use (some
     # environments pin JAX_PLATFORMS via sitecustomize, so an env var set
@@ -28,9 +41,12 @@ def _dispatch(argv):
     argv = list(argv)
     for tok in list(argv):
         if tok.startswith("platform="):
+            import os
+
             import jax
 
-            jax.config.update("jax_platforms", tok.split("=", 1)[1])
+            jax.config.update("jax_platforms", _resolve_platform(
+                tok.split("=", 1)[1], os.environ.get("JAX_PLATFORMS", "")))
             argv.remove(tok)
         elif tok.startswith("compile_cache="):
             # persistent XLA compilation cache for ANY entry (compiles over

@@ -102,6 +102,20 @@ def test_asdict_flat_roundtrippable():
     assert flat["task.sampling_type"] == "cfdg_ddpm_x0"
 
 
+def test_platform_tpu_resolves_to_registered_backend():
+    """`platform=tpu` must mean "this host's hardware TPU" even when the
+    chip registers under a custom PJRT plugin name (e.g. a tunneled v5e
+    pinned as JAX_PLATFORMS=axon by sitecustomize); `platform=cpu` and
+    explicit plugin names pass through verbatim."""
+    from diffroll_tpu.__main__ import _resolve_platform
+
+    assert _resolve_platform("tpu", "axon") == "axon"
+    assert _resolve_platform("tpu", "") == "tpu"
+    assert _resolve_platform("tpu", "cpu") == "tpu"
+    assert _resolve_platform("cpu", "axon") == "cpu"
+    assert _resolve_platform("axon", "axon") == "axon"
+
+
 # ----------------------------------------------------------------- CLI e2e
 
 def make_clip(path: pathlib.Path, seconds=SEQ / SR):
