@@ -39,6 +39,11 @@ def _dispatch(argv):
     # environments pin JAX_PLATFORMS via sitecustomize, so an env var set
     # by the user would be overridden — the config flag always wins)
     argv = list(argv)
+    # persistent XLA compilation cache defaults ON for every entry (full-size
+    # compiles over a device tunnel take 5-13 minutes; warm reruns reload in
+    # seconds). `compile_cache=<dir>` redirects it, `compile_cache=` (empty)
+    # disables it. serve additionally honors serve.compile_cache_dir.
+    cache_path = "~/.cache/diffroll_tpu/xla"
     for tok in list(argv):
         if tok.startswith("platform="):
             import os
@@ -49,20 +54,17 @@ def _dispatch(argv):
                 tok.split("=", 1)[1], os.environ.get("JAX_PLATFORMS", "")))
             argv.remove(tok)
         elif tok.startswith("compile_cache="):
-            # persistent XLA compilation cache for ANY entry (compiles over
-            # a device tunnel take minutes; warm reruns reload in seconds).
-            # serve enables its own via serve.compile_cache_dir.
-            import os
-
-            import jax
-
-            path = os.path.expanduser(tok.split("=", 1)[1])
-            if path:
-                os.makedirs(path, exist_ok=True)
-                jax.config.update("jax_compilation_cache_dir", path)
-                jax.config.update(
-                    "jax_persistent_cache_min_compile_time_secs", 10)
+            cache_path = tok.split("=", 1)[1]
             argv.remove(tok)
+    if cache_path:
+        import os
+
+        import jax
+
+        path = os.path.expanduser(cache_path)
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     from .cli import distill, infer, sample, serve, sweep, test, train, transcribe
 
