@@ -68,7 +68,7 @@ BF16_PEAK_FLOPS = 197e12  # v5e per-chip bf16 peak
 #   3. The JSON line is emitted exactly once from whichever of these fires
 #      first: normal completion, SIGTERM/SIGINT (the driver's `timeout`
 #      sends SIGTERM before SIGKILL), a global watchdog thread, or atexit.
-# Tunable: BENCH_GLOBAL_BUDGET_S (default 2400), BENCH_SKIP_PREFLIGHT=1.
+# Tunable: BENCH_GLOBAL_BUDGET_S (default 1320), BENCH_SKIP_PREFLIGHT=1.
 # ---------------------------------------------------------------------------
 
 _STATE = {"emitted": False, "dt": None, "extras": {}}
@@ -76,19 +76,33 @@ _EMIT_LOCK = threading.Lock()
 
 
 def _emit_json_line() -> None:
-    """Print the single driver-parsed JSON line, exactly once."""
+    """Print the single driver-parsed JSON line, exactly once.
+
+    The headline value is DERIVED FROM EXTRAS, never only from a section's
+    return value: r4 measured the headline (ddpm_steps_per_sec proved it)
+    and then lost it because a later sub-measurement timed out and the
+    section's return value was the only carrier. Fallback ladder:
+    e2e_latency_s (written the instant it exists) -> 200/steps_per_sec ->
+    the scan-path latency (flagged as a degraded headline)."""
     with _EMIT_LOCK:
         if _STATE["emitted"]:
             return
         _STATE["emitted"] = True
-    dt = _STATE["dt"]
+    extras = _STATE["extras"]
+    dt = _STATE["dt"] or extras.get("e2e_latency_s")
+    if dt is None and extras.get("ddpm_steps_per_sec"):
+        dt = 200.0 / extras["ddpm_steps_per_sec"]
+        extras["headline_source"] = "derived_from_steps_per_sec"
+    if dt is None and extras.get("e2e_scan_latency_s"):
+        dt = extras["e2e_scan_latency_s"]
+        extras["headline_source"] = "scan_path_fallback"
     budget_s = 1.0  # north-star: < 1 s per 20.48 s clip (BASELINE.md:32)
     print(json.dumps({
         "metric": "e2e_transcription_latency_20s_clip",
         "value": round(dt, 4) if dt else None,
         "unit": "s",
         "vs_baseline": round(budget_s / dt, 3) if dt else None,
-        "extras": _STATE["extras"],
+        "extras": extras,
     }), flush=True)
 
 
@@ -96,6 +110,38 @@ def _term_handler(signum, frame):
     _STATE["extras"]["killed_by_signal"] = int(signum)
     _emit_json_line()
     os._exit(0)
+
+
+class SectionCtx:
+    """Cooperative wall-clock budget handed to each section.
+
+    Sections call `has(need_s, skip_key, extras)` BEFORE each expensive
+    sub-measurement: if less than `need_s` remains (or the section was
+    abandoned by the harness), the sub-measurement is skipped and recorded
+    as such instead of overrunning the budget. This keeps an abandoned
+    daemon thread from continuing to dispatch to the chip underneath the
+    next section (r4: the timed-out sampling thread kept compiling b16
+    programs while the train section measured — contention the train
+    numbers absorbed silently)."""
+
+    def __init__(self, deadline: float):
+        self.deadline = deadline
+        self.cancel = threading.Event()
+
+    def remaining(self) -> float:
+        return self.deadline - time.perf_counter()
+
+    def has(self, need_s: float, skip_key: str | None = None,
+            extras: dict | None = None) -> bool:
+        if self.cancel.is_set():
+            ok = False
+            why = "section abandoned"
+        else:
+            ok = self.remaining() > need_s
+            why = f"budget: {self.remaining():.0f}s left < {need_s:.0f}s est"
+        if not ok and skip_key is not None and extras is not None:
+            extras[skip_key] = f"skipped ({why})"
+        return ok
 
 
 def run_section(name: str, fn, extras: dict, budget_s: float) -> object:
@@ -111,21 +157,22 @@ def run_section(name: str, fn, extras: dict, budget_s: float) -> object:
     join loop: budgets expire on time, SIGTERM flushes the JSON line, and
     a hung section is abandoned (daemon) rather than wedging the process."""
     t0 = time.perf_counter()
+    ctx = SectionCtx(t0 + budget_s)
     result = {}
 
     def _target():
         try:
-            result["out"] = fn(extras)
+            result["out"] = fn(extras, ctx)
         except BaseException as e:  # noqa: BLE001 - a bench section must not kill the run
             result["err"] = f"{type(e).__name__}: {e}"[:300]
 
     worker = threading.Thread(target=_target, name=f"bench-{name}",
                               daemon=True)
     worker.start()
-    deadline = t0 + budget_s
-    while worker.is_alive() and time.perf_counter() < deadline:
+    while worker.is_alive() and time.perf_counter() < ctx.deadline:
         worker.join(timeout=1.0)
     if worker.is_alive():
+        ctx.cancel.set()  # stop it before its NEXT sub-measurement
         extras[f"{name}_error"] = f"timeout after {budget_s:.0f}s"
         print(f"[bench] {name} TIMED OUT ({budget_s:.0f}s) — abandoning",
               file=sys.stderr)
@@ -148,7 +195,7 @@ def timeit(fn, iters: int = 5, warmup: int = 1) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def bench_sampling(extras):
+def bench_sampling(extras, ctx):
     from diffroll_tpu import models
     from diffroll_tpu.tasks import DiffusionTask, TaskConfig
 
@@ -175,42 +222,64 @@ def bench_sampling(extras):
     # did (a silently-failed supports_fused gate would otherwise hide a
     # fallback to the scan path in this very number)
     extras["megakernel_active"] = bool(make_task(None)._megakernel_applies())
+    t0 = time.perf_counter()
     dt = e2e(1, None)                       # headline: 200-step CFG DDPM
+    first_cost = time.perf_counter() - t0   # compile (if cold) + runs
+    # write the headline THE INSTANT it exists (r4 post-mortem: the number
+    # was measured, then discarded when a later sub-measurement timed out)
+    extras["e2e_latency_s"] = round(dt, 4)
     extras["ddpm_steps_per_sec"] = round(200.0 / dt, 1)
+    _STATE["dt"] = dt
+    extras["sampling_headline_wall_s"] = round(first_cost, 1)
+
+    # every remaining sub-measurement is a comparable full-size program:
+    # under a cold cache each costs roughly what the headline cost, so
+    # gate each on an estimate derived from the headline's observed wall
+    need = max(60.0, 1.15 * first_cost)
+
+    # priority order: B=16 serving throughput (2nd headline number), then
+    # the fast-sampling numbers, then the scan-path regression tracker,
+    # then the distilled path, then the 3-compile b1 bottleneck split
+    if ctx.has(need, "serving_b16", extras):
+        dt16 = e2e(16, None)
+        extras["serving_audio_s_per_s_b16"] = round(
+            16 * frames * 512 / 16000 / dt16, 1)
+    if ctx.has(need, "ddim50", extras):
+        extras["ddim50_latency_s"] = round(e2e(1, 50), 4)
     # scan path measured alongside (megakernel force-off) so a regression
     # in EITHER path is visible in the same bench line
-    extras["e2e_scan_latency_s"] = round(e2e(1, None, megakernel=False), 4)
-    extras["ddim50_latency_s"] = round(e2e(1, 50), 4)
-    dt16 = e2e(16, None)
-    extras["serving_audio_s_per_s_b16"] = round(16 * frames * 512 / 16000 / dt16, 1)
+    if ctx.has(need, "e2e_scan", extras):
+        extras["e2e_scan_latency_s"] = round(e2e(1, None, megakernel=False), 4)
+
+    # the distilled-sampler serving path (train/distill.py): few-step
+    # deterministic grid, guidance folded in => ONE forward per step.
+    # Latency is weight-independent, so random params measure it exactly;
+    # quality evidence lives in examples/synthetic_end_to_end.py distill=1.
+    if ctx.has(need, "distilled5", extras):
+        extras["distilled5_latency_s"] = round(
+            e2e(1, 5, sampling_type="ddim_x0", w=0.0), 4)
+    if ctx.has(need, "distilled5_b16", extras):
+        d16 = e2e(16, 5, sampling_type="ddim_x0", w=0.0)
+        extras["distilled5_audio_s_per_s_b16"] = round(
+            16 * frames * 512 / 16000 / d16, 1)
 
     # B=1 bottleneck split by sampler-family surgery at the same 200-step
     # grid: full CFG (2 denoiser streams + noise) vs single-stream DDPM
     # (1 stream + noise) vs deterministic DDIM (1 stream, megakernel skips
     # the noise stream entirely) — the deltas localize the guidance branch
     # and the noise generation/streaming cost
-    b1_full = dt
-    b1_uncond = e2e(1, 200, sampling_type="ddpm_x0", w=0.0)
-    b1_det = e2e(1, 200, sampling_type="ddim_x0", w=0.0)
-    extras["b1_split_cfg_200step_s"] = round(b1_full, 4)
-    extras["b1_split_single_stream_200step_s"] = round(b1_uncond, 4)
-    extras["b1_split_deterministic_200step_s"] = round(b1_det, 4)
-    extras["b1_split_guidance_cost_s"] = round(b1_full - b1_uncond, 4)
-    extras["b1_split_noise_cost_s"] = round(b1_uncond - b1_det, 4)
-
-    # the distilled-sampler serving path (train/distill.py): few-step
-    # deterministic grid, guidance folded in => ONE forward per step.
-    # Latency is weight-independent, so random params measure it exactly;
-    # quality evidence lives in examples/synthetic_end_to_end.py distill=1.
-    extras["distilled5_latency_s"] = round(
-        e2e(1, 5, sampling_type="ddim_x0", w=0.0), 4)
-    d16 = e2e(16, 5, sampling_type="ddim_x0", w=0.0)
-    extras["distilled5_audio_s_per_s_b16"] = round(
-        16 * frames * 512 / 16000 / d16, 1)
+    if ctx.has(2 * need, "b1_split", extras):
+        b1_uncond = e2e(1, 200, sampling_type="ddpm_x0", w=0.0)
+        b1_det = e2e(1, 200, sampling_type="ddim_x0", w=0.0)
+        extras["b1_split_cfg_200step_s"] = round(dt, 4)
+        extras["b1_split_single_stream_200step_s"] = round(b1_uncond, 4)
+        extras["b1_split_deterministic_200step_s"] = round(b1_det, 4)
+        extras["b1_split_guidance_cost_s"] = round(dt - b1_uncond, 4)
+        extras["b1_split_noise_cost_s"] = round(b1_uncond - b1_det, 4)
     return dt
 
 
-def bench_train(extras):
+def bench_train(extras, ctx):
     import optax
 
     from diffroll_tpu import models
@@ -284,12 +353,12 @@ def bench_train(extras):
     # default path (per-layer flax stack through XLA autodiff).
     # Key naming (r4, ADVICE): steps and clips/sec are dtype-labeled;
     # `train_step_ms_b16` keeps its r2 semantics (the f32 step) so
-    # cross-round trends stay apples-to-apples.
-    dt32, flops32 = step_time("float32")
-    extras["train_step_ms_b16"] = round(dt32 * 1e3, 2)  # legacy alias (f32)
-    extras["train_step_f32_ms_b16"] = round(dt32 * 1e3, 2)
-    extras["train_clips_per_sec_f32"] = round(B / dt32, 1)
+    # cross-round trends stay apples-to-apples. bf16 (the recommended
+    # training dtype) measures FIRST so a budget squeeze sheds the
+    # secondary dtypes, not the headline trend number.
+    t0 = time.perf_counter()
     dt16, flops16 = step_time("bfloat16")
+    first_cost = time.perf_counter() - t0
     extras["train_step_bf16_ms_b16"] = round(dt16 * 1e3, 2)
     extras["train_clips_per_sec_bf16"] = round(B / dt16, 1)
     # MFU labeled by the dtype of the step being divided (r2 mixed an f32
@@ -298,16 +367,23 @@ def bench_train(extras):
     if flops16:
         extras["train_mfu_bf16_step_vs_bf16_peak"] = round(
             flops16 / (dt16 * BF16_PEAK_FLOPS), 3)
-    if flops32:
-        extras["train_mfu_f32_step_vs_bf16_peak"] = round(
-            flops32 / (dt32 * BF16_PEAK_FLOPS), 3)
+    need = max(60.0, 1.15 * first_cost)
+    if ctx.has(need, "train_f32", extras):
+        dt32, flops32 = step_time("float32")
+        extras["train_step_ms_b16"] = round(dt32 * 1e3, 2)  # legacy alias (f32)
+        extras["train_step_f32_ms_b16"] = round(dt32 * 1e3, 2)
+        extras["train_clips_per_sec_f32"] = round(B / dt32, 1)
+        if flops32:
+            extras["train_mfu_f32_step_vs_bf16_peak"] = round(
+                flops32 / (dt32 * BF16_PEAK_FLOPS), 3)
     # the opt-in custom-VJP fused stack (task.fused_train=true), tracked so
     # regressions/improvements in the training kernels stay visible
-    dt_fused, _ = step_time("float32", fused_train=True)
-    extras["train_step_fused_ms_b16"] = round(dt_fused * 1e3, 2)
+    if ctx.has(need, "train_fused", extras):
+        dt_fused, _ = step_time("float32", fused_train=True)
+        extras["train_step_fused_ms_b16"] = round(dt_fused * 1e3, 2)
 
 
-def bench_serve(extras):
+def bench_serve(extras, ctx):
     """Driver-captured serving metrics (moves the soak claims out of
     README prose): the in-process TranscriptionService under concurrent
     synthetic load, for the dense CFG sampler and the distilled few-step
@@ -362,12 +438,14 @@ def bench_serve(extras):
     dense = DiffusionTask(model, TaskConfig(
         timesteps=200, w=0.5, sampling_type="cfdg_ddpm_x0"))
     soak("dense", dense, n_requests=32, n_threads=16, max_batch=8)
-    distilled = DiffusionTask(model, TaskConfig(
-        timesteps=200, w=0.0, sampling_type="ddim_x0", sampling_steps=5))
-    soak("distilled5", distilled, n_requests=128, n_threads=16, max_batch=16)
+    if ctx.has(120.0, "serve_distilled5", extras):
+        distilled = DiffusionTask(model, TaskConfig(
+            timesteps=200, w=0.0, sampling_type="ddim_x0", sampling_steps=5))
+        soak("distilled5", distilled, n_requests=128, n_threads=16,
+             max_batch=16)
 
 
-def bench_host_pipeline(extras):
+def bench_host_pipeline(extras, ctx):
     """Can the host loader feed the chip? Decode+rasterize throughput over
     an on-disk synthetic MAPS tree with realistic note density (~300 notes
     per 20.48 s clip). Reported separately:
@@ -401,9 +479,11 @@ def bench_host_pipeline(extras):
             return n / (time.perf_counter() - t0)
 
         extras["host_pipeline_cold_clips_per_sec"] = round(one_epoch(), 1)
-        rates = [one_epoch() for _ in range(4)]
-        extras["host_pipeline_clips_per_sec"] = round(
-            float(np.median(rates)), 1)
+        rates = [one_epoch()
+                 for _ in range(4) if ctx.has(15.0, "host_steady", extras)]
+        if rates:
+            extras["host_pipeline_clips_per_sec"] = round(
+                float(np.median(rates)), 1)
 
 
 def main():
@@ -414,8 +494,10 @@ def main():
 
     # global watchdog: if anything wedges past the overall budget (the
     # driver's own timeout is longer but finite), flush the line and die
-    # cleanly rather than rc-124 with nothing on stdout
-    global_budget = float(os.environ.get("BENCH_GLOBAL_BUDGET_S", "2400"))
+    # cleanly rather than rc-124 with nothing on stdout. Default sized to
+    # the driver's OBSERVED kill window: r4 got SIGTERMed ~1500 s in with
+    # the old 2400 s default, losing the serve/host sections entirely.
+    global_budget = float(os.environ.get("BENCH_GLOBAL_BUDGET_S", "1320"))
     t_start = time.perf_counter()
 
     def _watchdog():
@@ -464,10 +546,10 @@ def main():
     # BENCH_SECTION_SCALE>1 (compiles alone run 5-13 min per full-size
     # program over the tunnel)
     scale = float(os.environ.get("BENCH_SECTION_SCALE", "1"))
-    sections = (("sampling", bench_sampling, 1200.0 * scale),
-                ("train", bench_train, 900.0 * scale),
-                ("serve", bench_serve, 600.0 * scale),
-                ("host_pipeline", bench_host_pipeline, 300.0))
+    sections = (("sampling", bench_sampling, 700.0 * scale),
+                ("train", bench_train, 320.0 * scale),
+                ("serve", bench_serve, 200.0 * scale),
+                ("host_pipeline", bench_host_pipeline, 120.0))
     for name, fn, budget in sections:
         if only and name not in only.split(","):
             continue
