@@ -204,7 +204,10 @@ class ExperimentConfig:
     # eval audio artifact format: the reference saves mp3 (reference
     # task/diffusion.py:413-415). "mp3" encodes through an ffmpeg/lame
     # binary when one exists and falls back to wav otherwise.
-    audio_format: str = "wav"
+    # "mp3" matches the reference's eval audio artifact (reference
+    # task/diffusion.py:413-415); encodes via an ffmpeg/lame binary and
+    # degrades to 16-bit wav when no encoder exists on the host
+    audio_format: str = "mp3"
     serve: ServeConfig = ServeConfig()
     distill: DistillConfig = DistillConfig()
 

@@ -304,3 +304,11 @@ def test_read_wav_bytes_matches_file(tmp_path):
     f, sr_f = read_wav_bytes(_float32_wav_bytes(x, 16000), mono=True)
     assert sr_f == 16000
     np.testing.assert_allclose(f, x, atol=1e-7)
+
+
+def test_audio_format_defaults_to_mp3():
+    """Reference parity: eval audio artifacts are mp3 by default (reference
+    task/diffusion.py:413-415); write_audio degrades to wav encoder-less."""
+    from diffroll_tpu.config import compose
+
+    assert compose("test", {}).audio_format == "mp3"

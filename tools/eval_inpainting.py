@@ -25,6 +25,17 @@ floor < inpainting < transcription (context helps, audio is still absent).
 
 Windows are butted (eval_overlap_frames=0) so the mask band sits at the
 same frames of every 128-frame window.
+
+FREQUENCY-band masks (`fmask=m0,m1`, HTK mel bins — the reference's
+`inpainting_f`, sampling.py:29-43, model/diffwave.py:649-654) are scored
+the same way but the inside/outside split runs along the PITCH axis: a key
+is "inside" iff its fundamental falls within the Hz span the masked mel
+bins cover (filterbank edges, mel_to_hz(points[m0]) .. points[m1+1]).
+Unlike a time mask, harmonics of inside-band notes remain visible in the
+unmasked bins above the band, so inside-band recovery measures
+fundamental-suppressed transcription, not pure generation.
+
+    python tools/eval_inpainting.py ckpt=<dir> fmask=29,51 w=0.5 out=...
 """
 
 from __future__ import annotations
@@ -53,7 +64,13 @@ def main():
 
     ckpt = ARGS["ckpt"]
     root = ARGS.get("root", "/tmp/psweep_tree")
-    t0, t1 = (int(x) for x in ARGS.get("mask", "48,80").split(","))
+    fmask = ARGS.get("fmask")
+    if fmask is not None:
+        m0, m1 = (int(x) for x in fmask.split(","))
+        t0 = t1 = None
+    else:
+        t0, t1 = (int(x) for x in ARGS.get("mask", "48,80").split(","))
+        m0 = m1 = None
     w = float(ARGS.get("w", "0.5"))
     seq = int(ARGS.get("seq", "65536"))
 
@@ -68,15 +85,35 @@ def main():
     })
     cfg, model, task, state = _common.load_pretrained(cfg)
     win = seq // cfg.dataset.hop_length
-    assert 0 <= t0 < t1 <= win, (t0, t1, win)
+    if fmask is None:
+        assert 0 <= t0 < t1 <= win, (t0, t1, win)
+        inpaint_kw = dict(inpainting_t=(t0, t1), inpainting_f=None)
+    else:
+        n_mels = model.config.mel.n_mels
+        assert 0 <= m0 < m1 <= n_mels, (m0, m1, n_mels)
+        inpaint_kw = dict(inpainting_t=None, inpainting_f=(m0, m1))
+        # pitch-axis inside/outside split: the masked mel bins cover a Hz
+        # span (filterbank edges); a key is inside iff its fundamental
+        # falls in that span
+        from diffroll_tpu.dsp.mel import hz_to_mel_htk, mel_to_hz_htk
+        pts = mel_to_hz_htk(np.linspace(
+            hz_to_mel_htk(model.config.mel.f_min),
+            hz_to_mel_htk(model.config.mel.f_max), n_mels + 2))
+        hz_lo, hz_hi = float(pts[m0]), float(pts[m1 + 1])
+        midi = 21 + np.arange(88)
+        f0s = 440.0 * 2.0 ** ((midi - 69) / 12.0)
+        inside = np.where((f0s >= hz_lo) & (f0s < hz_hi))[0]
+        k0, k1 = int(inside[0]), int(inside[-1]) + 1
+        print(f"[fmask] mel bins [{m0},{m1}) => {hz_lo:.0f}-{hz_hi:.0f} Hz "
+              f"=> keys [{k0},{k1}) (midi {21+k0}-{21+k1-1})",
+              file=sys.stderr, flush=True)
 
     conditions = {
         "transcription": cfg.task.replace(
             sampling_type="cfdg_ddpm_x0", w=w,
             inpainting_t=None, inpainting_f=None),
         "inpainting": cfg.task.replace(
-            sampling_type="inpainting_ddpm_x0", w=w,
-            inpainting_t=(t0, t1), inpainting_f=None),
+            sampling_type="inpainting_ddpm_x0", w=w, **inpaint_kw),
         "generation": cfg.task.replace(
             sampling_type="generation_ddpm_x0", w=w,
             inpainting_t=None, inpainting_f=None),
@@ -104,22 +141,30 @@ def main():
         pred = np.concatenate(preds)
         label = np.concatenate(labels)
 
-        def region(a, b):
+        def score(p, lbl):
             return evaluate_rolls(
-                pred[:, a:b], label[:, a:b],
+                p, lbl,
                 frame_threshold=cfg.task.frame_threshold,
                 hop_length=cfg.dataset.hop_length,
                 sample_rate=cfg.dataset.sampling_rate)
 
-        outside = evaluate_rolls(
-            np.concatenate([pred[:, :t0], pred[:, t1:]], axis=1),
-            np.concatenate([label[:, :t0], label[:, t1:]], axis=1),
-            frame_threshold=cfg.task.frame_threshold,
-            hop_length=cfg.dataset.hop_length,
-            sample_rate=cfg.dataset.sampling_rate)
+        if fmask is None:
+            inside_r = score(pred[:, t0:t1], label[:, t0:t1])
+            outside_r = score(
+                np.concatenate([pred[:, :t0], pred[:, t1:]], axis=1),
+                np.concatenate([label[:, :t0], label[:, t1:]], axis=1))
+        else:
+            # pitch-axis split: note decoding is per-key-independent, so
+            # slicing columns preserves note events; the key->Hz mapping
+            # shifts identically for pred and label, leaving mir_eval's
+            # pitch matching unaffected
+            inside_r = score(pred[:, :, k0:k1], label[:, :, k0:k1])
+            outside_r = score(
+                np.concatenate([pred[:, :, :k0], pred[:, :, k1:]], axis=2),
+                np.concatenate([label[:, :, :k0], label[:, :, k1:]], axis=2))
         results[name] = {
-            "inside_mask": region(t0, t1),
-            "outside_mask": outside,
+            "inside_mask": inside_r,
+            "outside_mask": outside_r,
             "n_windows": int(pred.shape[0]),
         }
         print(f"[{name}] inside note_f1={results[name]['inside_mask']['note_f1']:.3f} "
@@ -129,10 +174,16 @@ def main():
               file=sys.stderr, flush=True)
 
     payload = {
-        "ckpt": ckpt, "mask_frames": [t0, t1], "w": w,
+        "ckpt": ckpt, "w": w,
         "window_frames": win, "eval_overlap_frames": 0,
         "results": results,
     }
+    if fmask is None:
+        payload["mask_frames"] = [t0, t1]
+    else:
+        payload["mask_mel_bins"] = [m0, m1]
+        payload["mask_hz"] = [round(hz_lo, 1), round(hz_hi, 1)]
+        payload["mask_keys"] = [k0, k1]
     out = ARGS.get("out")
     if out:
         pathlib.Path(out).write_text(json.dumps(payload, indent=2))
