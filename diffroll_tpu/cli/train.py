@@ -114,6 +114,7 @@ def main(argv: Optional[List[str]] = None):
         checkpointer=ckpt, logger=logger,
         config_record=_common.config_record(cfg),
         val_hook=val_hook,
+        transfer=cfg.dataloader.transfer,
     )
 
     # trainer.test equivalent (reference train_spec_roll.py:59); when EMA

@@ -36,16 +36,67 @@ def collate(items: Sequence[Any]) -> Any:
     return np.stack([np.asarray(it) for it in items])
 
 
-def device_prefetch(iterator, mesh=None, size: int = 2):
+def pack_batch(batch: Any) -> Any:
+    """Shrink a host batch for the H2D transfer, losslessly w.r.t. the
+    corpus sources: float32 audio -> int16 (16-bit PCM is the decode
+    precision, io/wav._pcm_to_float divides by 32768, so round(x*32768)
+    inverts it bit-exactly for unresampled clips), binary {0,1} float32
+    rolls -> uint8. On a bandwidth-limited host link this cuts the
+    dominant per-step transfer ~2.2x (B=16 full size: 25 MB -> 11.4 MB).
+    `unpack_batch` (in-jit) restores float32; non-float leaves pass
+    through untouched."""
+    if isinstance(batch, (tuple, list)):
+        return type(batch)(pack_batch(b) for b in batch)
+    out = {}
+    for k, v in batch.items():
+        if not isinstance(v, np.ndarray) or v.dtype != np.float32:
+            out[k] = v
+        elif k == "audio":
+            out[k] = np.clip(np.rint(v * 32768.0), -32768,
+                             32767).astype(np.int16)
+        elif k in ("frame", "onset"):  # binary rolls
+            out[k] = v.astype(np.uint8)
+        else:
+            out[k] = v
+    return out
+
+
+def unpack_batch(batch: Any) -> Any:
+    """In-jit inverse of `pack_batch`: int16 audio -> float32/32768,
+    uint8 rolls -> float32. No-op on float32 batches, so every loss_fn
+    caller can apply it unconditionally."""
+    import jax.numpy as jnp
+
+    if isinstance(batch, (tuple, list)):
+        return type(batch)(unpack_batch(b) for b in batch)
+    if not isinstance(batch, dict):
+        return batch
+    out = {}
+    for k, v in batch.items():
+        dt = getattr(v, "dtype", None)
+        if dt == jnp.int16:
+            out[k] = v.astype(jnp.float32) * (1.0 / 32768.0)
+        elif dt == jnp.uint8:
+            out[k] = v.astype(jnp.float32)
+        else:
+            out[k] = v
+    return out
+
+
+def device_prefetch(iterator, mesh=None, size: int = 2,
+                    pack: bool = False):
     """Overlap host->device transfer with device compute: keep `size`
     batches in flight on the accelerator (sharded over the mesh's data
     axis when given). The torch `pin_memory` + async-H2D equivalent for
-    the jit train loop."""
+    the jit train loop. `pack=True` sends batches through `pack_batch`
+    (int16 audio / uint8 rolls) — the consumer's loss_fn unpacks in-jit."""
     import collections
 
     import jax
 
     def put(batch):
+        if pack:
+            batch = pack_batch(batch)
         if mesh is not None:
             from ..parallel.mesh import shard_batch
 

@@ -27,6 +27,7 @@ class _WindowJob:
     wav: np.ndarray                  # (seq_len,) f32
     request: "_Request"
     index: int                       # position within the request
+    t_enqueue: float = 0.0           # monotonic, for queue-wait stats
 
 
 @dataclass
@@ -64,7 +65,9 @@ class TranscriptionService:
     def __init__(self, task, params, *, max_batch: int = 8,
                  max_wait_ms: float = 25.0, overlap_frames: int = 32,
                  frame_threshold: float = 0.5, seed: int = 0, mesh=None,
-                 max_body_mb: float = 64.0, max_queued_windows: int = 256):
+                 max_body_mb: float = 64.0, max_queued_windows: int = 256,
+                 transfer_dtype: str = "float32", pipeline_depth: int = 2,
+                 detailed_timing: bool = False):
         self.task = task
         self.params = params
         self.mesh = mesh
@@ -82,6 +85,23 @@ class TranscriptionService:
         self.overlap_frames = overlap_frames
         self.frame_threshold = frame_threshold
         self.max_body_bytes = int(max_body_mb * 1024 * 1024)
+        # host->device transfer format for the waveform batch — the
+        # single largest per-batch transfer (max_batch x seq_len f32 =
+        # 10.5 MB at B=8 full size, dominant on a slow host link).
+        # "int16" halves it and is bit-faithful to 16-bit PCM sources
+        # (the decode path the corpora use); dequantized in-jit.
+        if transfer_dtype not in ("float32", "int16"):
+            raise ValueError(f"transfer_dtype must be float32|int16, "
+                             f"got {transfer_dtype!r}")
+        self.transfer_dtype = transfer_dtype
+        # how many batches may be in flight at once: depth 2 overlaps
+        # host-side assembly + H2D of batch k+1 with device compute of
+        # batch k (JAX async dispatch); depth 1 = serial, required by
+        # detailed_timing (stage boundaries must not overlap to be
+        # attributable)
+        self.pipeline_depth = 1 if detailed_timing else max(
+            int(pipeline_depth), 1)
+        self.detailed_timing = detailed_timing
         # bounded: the only other backpressure is callers parked in
         # done.wait(), and ThreadingHTTPServer spawns a thread per
         # connection — an unbounded queue lets concurrent large requests
@@ -90,17 +110,48 @@ class TranscriptionService:
             maxsize=max(max_queued_windows, max_batch))
         self._key = jax.random.key(seed)
         self._key_lock = threading.Lock()
-        # the service must NOT donate x_T: the same compiled program is
-        # reused across batches. The mesh routes the Pallas megakernel
-        # through shard_map so sharded batches stay per-device.
-        self._run = task.sample_jit(donate=False, mesh=mesh)
+        # the compiled program takes (params, key, wav) and creates x_T
+        # ON DEVICE from the key: shipping host-side gaussian noise costs
+        # an extra H2D (B x frames x 88 f32) per batch and host RNG time
+        self._run = self._make_run()
         self._stop = threading.Event()
+        # completion pipeline: the dispatcher issues batches (async JAX
+        # dispatch) and hands (jobs, device result) to the completion
+        # thread, which blocks on D2H and delivers. Queue size bounds the
+        # number of batches in flight to pipeline_depth (1 draining in the
+        # completion thread + maxsize waiting).
+        self._completions: "queue.Queue" = queue.Queue(
+            maxsize=max(self.pipeline_depth - 1, 1))
         self._worker = threading.Thread(target=self._dispatch_loop,
                                         daemon=True)
-        self._worker.start()
+        self._completer = threading.Thread(target=self._completion_loop,
+                                           daemon=True)
         self.stats = {"requests": 0, "windows": 0, "batches": 0,
                       "audio_seconds": 0.0}
         self._stats_lock = threading.Lock()
+        self._worker.start()
+        self._completer.start()
+
+    def _make_run(self):
+        """The one compiled sampler program: (params, key, wav) -> rolls."""
+        task, mesh = self.task, self.mesh
+        shape = (self.max_batch, self.frames, self.pitches)
+
+        def run(params, key, wav):
+            nk, sk = jax.random.split(key)
+            if wav.dtype == jnp.int16:
+                wav = wav.astype(jnp.float32) * (1.0 / 32768.0)
+            x_T = jax.random.normal(nk, shape)
+            if mesh is not None:
+                from ..parallel.mesh import batch_sharding
+
+                x_T = jax.lax.with_sharding_constraint(
+                    x_T, batch_sharding(mesh))
+            x0, _ = task.sample(params, x_T, sk, waveform=wav,
+                                record_every=None, mesh=mesh)
+            return x0
+
+        return jax.jit(run)
 
     # ------------------------------------------------------------- warmup
 
@@ -112,6 +163,7 @@ class TranscriptionService:
         wav = np.zeros(self.seq_len, np.float32)
         self.transcribe(wav, timeout=timeout)
         with self._stats_lock:
+            self.stats.clear()  # incl. warmup's timing sums
             self.stats.update(requests=0, windows=0, batches=0,
                               audio_seconds=0.0)
 
@@ -138,7 +190,8 @@ class TranscriptionService:
         for i, wav in enumerate(windows):
             try:
                 self._queue.put_nowait(_WindowJob(wav=wav, request=req,
-                                                  index=i))
+                                                  index=i,
+                                                  t_enqueue=time.monotonic()))
             except queue.Full:
                 req.abandoned = True  # dispatcher drops the enqueued part
                 raise ServiceOverloaded(
@@ -173,6 +226,7 @@ class TranscriptionService:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=5)
+        self._completer.join(timeout=5)
 
     # ---------------------------------------------------------- dispatcher
 
@@ -201,33 +255,80 @@ class TranscriptionService:
             if not jobs:
                 continue
             try:
-                self._run_batch(jobs)
+                self._issue_batch(jobs)
             except BaseException as e:  # surface to every waiting request
                 for job in jobs:
                     job.request.error = e
                     job.request.done.set()
 
-    def _run_batch(self, jobs: List[_WindowJob]):
-        n = len(jobs)
+    def _issue_batch(self, jobs: List[_WindowJob]):
+        """Assemble + dispatch one batch; completion happens in the
+        completion thread (JAX dispatch is async, so the device computes
+        batch k while this thread assembles and transfers batch k+1 —
+        the two-deep pipeline that hides host work behind compute)."""
+        t0 = time.monotonic()
+        queue_wait = sum(t0 - j.t_enqueue for j in jobs) / len(jobs)
         wav = np.zeros((self.max_batch, self.seq_len), np.float32)
         for i, job in enumerate(jobs):
             wav[i] = job.wav
+        if self.transfer_dtype == "int16":
+            wav = (np.clip(wav, -1.0, 1.0) * 32767.0).astype(np.int16)
         with self._key_lock:
-            self._key, nk, sk = jax.random.split(self._key, 3)
-        x_T = jax.random.normal(nk, (self.max_batch, self.frames,
-                                     self.pitches))
-        wav_j = jnp.asarray(wav)
-        if self.mesh is not None:
-            from ..parallel.mesh import batch_sharding
+            self._key, k = jax.random.split(self._key)
+        t1 = time.monotonic()
+        timing = {"queue_wait_s": queue_wait, "assemble_s": t1 - t0}
+        if self.detailed_timing:
+            # serialize the stages so each is attributable: H2D alone...
+            wav_j = jax.block_until_ready(jnp.asarray(wav))
+            t2 = time.monotonic()
+            timing["h2d_s"] = t2 - t1
+            # ...then device compute alone (includes the in-jit x_T draw)
+            rolls_dev = jax.block_until_ready(
+                self._run(self.params, k, wav_j))
+            timing["compute_s"] = time.monotonic() - t2
+        else:
+            rolls_dev = self._run(self.params, k, jnp.asarray(wav))
+        timing["t_issue"] = t1
+        # blocks when pipeline_depth batches are already in flight —
+        # that backpressure is the pipeline depth limit
+        self._completions.put((jobs, rolls_dev, timing))
 
-            x_T = jax.device_put(x_T, batch_sharding(self.mesh))
-            wav_j = jax.device_put(wav_j, batch_sharding(self.mesh))
-        rolls = np.asarray(self._run(self.params, x_T, sk, wav_j))
-        with self._stats_lock:
-            self.stats["windows"] += n
-            self.stats["batches"] += 1
-        for i, job in enumerate(jobs):
-            job.request.deliver(job.index, rolls[i])
+    def _completion_loop(self):
+        while not self._stop.is_set():
+            try:
+                jobs, rolls_dev, timing = self._completions.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                t0 = time.monotonic()
+                rolls = np.asarray(rolls_dev)  # awaits compute + D2H
+                t1 = time.monotonic()
+                with self._stats_lock:
+                    self.stats["windows"] += len(jobs)
+                    self.stats["batches"] += 1
+                    s = self.stats
+                    s["sum_queue_wait_s"] = (s.get("sum_queue_wait_s", 0.0)
+                                             + timing["queue_wait_s"])
+                    s["sum_assemble_s"] = (s.get("sum_assemble_s", 0.0)
+                                           + timing["assemble_s"])
+                    if self.detailed_timing:
+                        s["sum_h2d_s"] = (s.get("sum_h2d_s", 0.0)
+                                          + timing["h2d_s"])
+                        s["sum_compute_s"] = (s.get("sum_compute_s", 0.0)
+                                              + timing["compute_s"])
+                        s["sum_d2h_s"] = s.get("sum_d2h_s", 0.0) + (t1 - t0)
+                    else:
+                        # issue -> ready: compute + transfers, overlapped
+                        s["sum_batch_wall_s"] = (
+                            s.get("sum_batch_wall_s", 0.0)
+                            + (t1 - timing["t_issue"]))
+            except BaseException as e:  # surface to every waiting request
+                for job in jobs:
+                    job.request.error = e
+                    job.request.done.set()
+                continue
+            for i, job in enumerate(jobs):
+                job.request.deliver(job.index, rolls[i])
 
 
 # ------------------------------------------------------------------- HTTP

@@ -80,6 +80,9 @@ class BaselineTask:
         train: bool = True,
     ):
         del train
+        from ..data.pipeline import unpack_batch
+
+        batch = unpack_batch(batch)  # packed-transfer batches (int16/uint8)
         roll = batch["frame"]  # NOT normalized (reference task/baseline.py:427)
         x_t, t = self._dummy_inputs(key, roll.shape, roll.dtype)
         cond = self.model.conditioner(waveform=batch["audio"])

@@ -154,7 +154,13 @@ class DiffusionTask:
         `batch` is {'frame': (B,640,88), 'audio': (B,L)} or a pair of such
         dicts for the dual-dataset recipe (reference continue_train_both.py:
         17-25; step() list branch task/diffusion.py:654-659, 704-715).
+        Batches may arrive packed for the H2D transfer (int16 audio /
+        uint8 rolls, data/pipeline.pack_batch); unpacking is in-jit and a
+        no-op for float32.
         """
+        from ..data.pipeline import unpack_batch
+
+        batch = unpack_batch(batch)
         cfg = self.config
         dual = isinstance(batch, (tuple, list))
         b1 = batch[0] if dual else batch

@@ -68,6 +68,7 @@ def fit(
     logger: Optional[MetricLogger] = None,
     config_record: Optional[Dict[str, Any]] = None,
     val_hook=None,
+    transfer: str = "float32",
 ) -> TrainState:
     """Train to `trainer.max_epochs`. Returns the final state.
 
@@ -106,8 +107,11 @@ def fit(
     for epoch in range(trainer.max_epochs):
         with trace_if(trainer.profile and epoch == 0,
                       str(logger.run_dir / "profile") if logger else "/tmp/jax-trace"):
-            # keep 2 batches in flight on device: H2D overlaps compute
-            for batch in device_prefetch(train_loader, mesh):
+            # keep 2 batches in flight on device: H2D overlaps compute;
+            # "packed" transfer ships int16 audio + uint8 rolls (see
+            # DataloaderConfig.transfer), unpacked in-jit by loss_fn
+            for batch in device_prefetch(train_loader, mesh,
+                                         pack=(transfer == "packed")):
                 key, step_key = jax.random.split(key)
                 state, losses = step_fn(state, batch, step_key)
                 if ema is not None:

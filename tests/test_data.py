@@ -465,3 +465,73 @@ def test_eval_overlapped_windows_geometry(tmp_path):
         it = ds[i]
         np.testing.assert_array_equal(it["frame"],
                                       full[starts[i]: starts[i] + win])
+
+
+# ---------------------------------------------------- packed H2D transfer
+
+def test_pack_unpack_roundtrip_bit_exact():
+    """int16 audio packing must invert io/wav's PCM16 decode exactly
+    (x = pcm/32768 -> round(x*32768) = pcm), and binary rolls survive
+    uint8 round-trip untouched."""
+    import jax.numpy as jnp
+
+    from diffroll_tpu.data.pipeline import pack_batch, unpack_batch
+
+    rng = np.random.RandomState(0)
+    pcm = rng.randint(-32768, 32768, size=(2, 4096)).astype(np.int16)
+    batch = {
+        "audio": pcm.astype(np.float32) / 32768.0,   # the decode convention
+        "frame": (rng.rand(2, 8, 88) > 0.9).astype(np.float32),
+        "onset": (rng.rand(2, 8, 88) > 0.95).astype(np.float32),
+        "clip_idx": np.arange(2, dtype=np.int32),
+    }
+    packed = pack_batch(batch)
+    assert packed["audio"].dtype == np.int16
+    np.testing.assert_array_equal(packed["audio"], pcm)
+    assert packed["frame"].dtype == np.uint8
+    assert packed["clip_idx"].dtype == np.int32  # untouched
+    un = unpack_batch({k: jnp.asarray(v) for k, v in packed.items()})
+    np.testing.assert_array_equal(np.asarray(un["audio"]), batch["audio"])
+    np.testing.assert_array_equal(np.asarray(un["frame"]), batch["frame"])
+    np.testing.assert_array_equal(np.asarray(un["onset"]), batch["onset"])
+    # float32 batches pass through unchanged (no-op contract)
+    same = unpack_batch({k: jnp.asarray(v) for k, v in batch.items()})
+    np.testing.assert_array_equal(np.asarray(same["audio"]), batch["audio"])
+
+
+def test_pack_batch_handles_dual_dataset_pairs():
+    from diffroll_tpu.data.pipeline import pack_batch
+
+    b = {"audio": np.zeros((1, 64), np.float32),
+         "frame": np.zeros((1, 2, 88), np.float32)}
+    packed = pack_batch((b, b))
+    assert isinstance(packed, tuple) and len(packed) == 2
+    assert packed[0]["audio"].dtype == np.int16
+
+
+def test_loss_fn_identical_on_packed_batch():
+    """Training on packed batches must be numerically identical to f32
+    batches when the audio sits on the PCM16 grid (i.e. for real corpora):
+    same loss, bit for bit."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffroll_tpu import models
+    from diffroll_tpu.data.pipeline import pack_batch
+    from diffroll_tpu.tasks import DiffusionTask, TaskConfig
+
+    model = models.build("ClassifierFreeDiffRoll", residual_channels=16,
+                         residual_layers=2, frames=16, timesteps=8)
+    params = model.init(jax.random.key(0))
+    task = DiffusionTask(model, TaskConfig(timesteps=8))
+    rng = np.random.RandomState(1)
+    pcm = rng.randint(-3000, 3000, size=(2, 16 * 512)).astype(np.int16)
+    batch = {
+        "audio": pcm.astype(np.float32) / 32768.0,
+        "frame": (rng.rand(2, 16, 88) > 0.9).astype(np.float32),
+    }
+    key = jax.random.key(7)
+    loss_a, _ = task.loss_fn(params, jax.device_put(batch), key, True)
+    loss_b, _ = task.loss_fn(params, jax.device_put(pack_batch(batch)),
+                             key, True)
+    assert float(loss_a) == float(loss_b), (float(loss_a), float(loss_b))

@@ -425,3 +425,44 @@ def test_train_step_with_packed_moments_and_rbg(tmp_path):
               if "train/diffusion_loss" in r]
     assert len(losses) >= 2
     assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+
+
+def test_fit_with_packed_transfer():
+    """fit(transfer='packed') routes batches through pack_batch on the H2D
+    path and loss_fn unpacks in-jit — two epochs must run and update
+    params exactly like the float32 path (same seed, PCM-grid audio)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffroll_tpu import models
+    from diffroll_tpu.config.experiment import TrainerConfig
+    from diffroll_tpu.tasks import DiffusionTask, TaskConfig
+    from diffroll_tpu.train import TrainState, fit, make_optimizer
+
+    model = models.build("ClassifierFreeDiffRoll", residual_channels=8,
+                         residual_layers=2, frames=16, timesteps=4)
+    task = DiffusionTask(model, TaskConfig(timesteps=4))
+    rng = np.random.RandomState(0)
+    pcm = rng.randint(-3000, 3000, size=(2, 16 * 512)).astype(np.int16)
+    batch = {
+        "frame": (rng.rand(2, 16, 88) > 0.8).astype(np.float32),
+        "audio": pcm.astype(np.float32) / 32768.0,
+    }
+    tcfg = TrainerConfig(max_epochs=2, check_val_every_n_epoch=5,
+                         monitor="train/diffusion_loss", log_every_n_steps=1)
+
+    def run(transfer):
+        params = model.init(jax.random.key(0))
+        state = TrainState.create(params, make_optimizer(1e-2))
+        return fit(task, state, [batch, batch], make_optimizer(1e-2),
+                   trainer=tcfg, transfer=transfer)
+
+    s_f32 = run("float32")
+    s_packed = run("packed")
+    max_diff = jax.tree_util.tree_reduce(
+        lambda a, b: max(a, float(jnp.abs(b).max())),
+        jax.tree_util.tree_map(lambda x, y: x - y,
+                               s_f32.params, s_packed.params), 0.0)
+    assert max_diff == 0.0, max_diff

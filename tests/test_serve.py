@@ -149,6 +149,7 @@ def test_overload_backpressure_and_abandoned_requests():
     # pause the dispatcher so the queue can fill
     svc._stop.set()
     svc._worker.join(timeout=10)
+    svc._completer.join(timeout=10)
     # 1 queued window + an immediate timeout -> dead request in the queue
     with pytest.raises(TimeoutError):
         svc.transcribe(np.zeros(SEQ, np.float32), timeout=0.05)
@@ -159,7 +160,10 @@ def test_overload_backpressure_and_abandoned_requests():
     # resume dispatching: dead windows must be skipped, live work served
     svc._stop.clear()
     svc._worker = threading.Thread(target=svc._dispatch_loop, daemon=True)
+    svc._completer = threading.Thread(target=svc._completion_loop,
+                                      daemon=True)
     svc._worker.start()
+    svc._completer.start()
     roll = svc.transcribe(np.zeros(SEQ, np.float32))
     assert roll.shape == (FRAMES, 88)
     # only the live window went through the sampler
@@ -239,3 +243,70 @@ def test_http_body_cap_and_fault_classes(service, tmp_path):
     finally:
         server.shutdown()
         svc.close()
+
+
+def test_int16_transfer_matches_f32(service):
+    """transfer_dtype='int16' halves the dominant per-batch H2D transfer;
+    sources are 16-bit PCM so quantization is bit-faithful to them — the
+    transcribed roll must match the f32-transfer roll closely."""
+    svc16 = TranscriptionService(service.task, service.params, max_batch=4,
+                                 max_wait_ms=5, overlap_frames=4, seed=0,
+                                 transfer_dtype="int16")
+    svc16.warmup()
+    rng = np.random.RandomState(1)
+    clip = (rng.randn(SEQ).astype(np.float32) * 0.1)
+    a = service.transcribe(clip)
+    b = svc16.transcribe(clip)
+    svc16.close()
+    assert a.shape == b.shape
+    scale = float(np.abs(a).max()) + 1e-6
+    assert float(np.abs(a - b).max()) / scale < 0.05
+
+
+def test_transfer_dtype_validated():
+    model = models.build("ClassifierFreeDiffRoll", residual_channels=16,
+                         residual_layers=2, frames=FRAMES, timesteps=4)
+    params = model.init(jax.random.key(0))
+    task = DiffusionTask(model, TaskConfig(timesteps=4, w=0.5))
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        TranscriptionService(task, params, transfer_dtype="int8")
+
+
+def test_detailed_timing_decomposes_stages():
+    """detailed_timing=True serializes the pipeline and attributes every
+    batch's wall to queue-wait / assemble / H2D / compute / D2H sums —
+    the decomposition tools/profile_serve.py reads."""
+    model = models.build("ClassifierFreeDiffRoll", residual_channels=16,
+                         residual_layers=2, frames=FRAMES, timesteps=4)
+    params = model.init(jax.random.key(0))
+    task = DiffusionTask(model, TaskConfig(timesteps=4, w=0.5))
+    svc = TranscriptionService(task, params, max_batch=2, max_wait_ms=5,
+                               overlap_frames=4, detailed_timing=True)
+    assert svc.pipeline_depth == 1  # stages must not overlap
+    svc.warmup()
+    svc.transcribe(np.zeros(SEQ, np.float32))
+    for k in ("sum_queue_wait_s", "sum_assemble_s", "sum_h2d_s",
+              "sum_compute_s", "sum_d2h_s"):
+        assert k in svc.stats and svc.stats[k] >= 0.0, (k, svc.stats)
+    assert svc.stats["sum_compute_s"] > 0.0
+    svc.close()
+
+
+def test_pipelined_batches_overlap_under_load(service):
+    """pipeline_depth=2 (the default) keeps request semantics identical
+    under concurrent load while batches flow through the completion
+    thread; batch wall time is recorded."""
+    results = {}
+
+    def run(i):
+        results[i] = service.transcribe(
+            np.random.RandomState(i).randn(SEQ).astype(np.float32) * 0.1)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 6
+    assert all(r.shape == (FRAMES, 88) for r in results.values())
+    assert service.stats.get("sum_batch_wall_s", 0.0) > 0.0
