@@ -531,10 +531,13 @@ def main():
             return
 
     # persistent XLA cache: full-size programs compile in minutes over the
-    # device tunnel; warm reruns reload in seconds
-    path = os.path.expanduser("~/.cache/diffroll_tpu/xla")
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
+    # device tunnel; warm reruns reload in seconds. The helper also drops
+    # the remote server's volatile build line from the cache key — without
+    # that, every backend redeploy rotated every key and the headline
+    # recompiled cold (~800 s) hours after being primed (r5 finding).
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from diffroll_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
 
     # sections are independent; a transient tunnel failure in one (the
     # remote compile service has dropped connections mid-run) must not
@@ -546,7 +549,11 @@ def main():
     # BENCH_SECTION_SCALE>1 (compiles alone run 5-13 min per full-size
     # program over the tunnel)
     scale = float(os.environ.get("BENCH_SECTION_SCALE", "1"))
-    sections = (("sampling", bench_sampling, 700.0 * scale),
+    # sampling gets 840 s: a COLD headline compile costs ~805 s wall over
+    # the tunnel (r5 prime run) — it must complete INSIDE the section so
+    # the harness neither abandons it (losing the value if the process
+    # dies early) nor lets its still-compiling thread contend with train
+    sections = (("sampling", bench_sampling, 840.0 * scale),
                 ("train", bench_train, 320.0 * scale),
                 ("serve", bench_serve, 200.0 * scale),
                 ("host_pipeline", bench_host_pipeline, 120.0))

@@ -57,14 +57,9 @@ def _dispatch(argv):
             cache_path = tok.split("=", 1)[1]
             argv.remove(tok)
     if cache_path:
-        import os
+        from .utils.compile_cache import enable as enable_compile_cache
 
-        import jax
-
-        path = os.path.expanduser(cache_path)
-        os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+        enable_compile_cache(cache_path)
 
     from .cli import distill, infer, sample, serve, sweep, test, train, transcribe
 

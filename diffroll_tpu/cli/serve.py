@@ -26,14 +26,9 @@ def main(argv: Optional[List[str]] = None):
     if cfg.serve.compile_cache_dir:
         # persistent XLA cache: restarts reload the sampler executable in
         # seconds instead of recompiling for minutes
-        import os
+        from ..utils.compile_cache import enable as enable_compile_cache
 
-        import jax
-
-        path = os.path.expanduser(cfg.serve.compile_cache_dir)
-        os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+        enable_compile_cache(cfg.serve.compile_cache_dir)
 
     cfg, model, task, state = _common.load_pretrained(cfg, overrides=overrides)
 

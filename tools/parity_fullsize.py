@@ -46,9 +46,8 @@ def main() -> int:
     from diffroll_tpu import models
     from diffroll_tpu.tasks import DiffusionTask, TaskConfig
 
-    cache = os.path.expanduser("~/.cache/diffroll_tpu/xla")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
+    from diffroll_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
 
     batch = int(ARGS.get("batch", "1"))
     w = float(ARGS.get("w", "0.5"))

@@ -35,10 +35,8 @@ SHAPES = {
 
 
 def main():
-    path = os.path.expanduser("~/.cache/diffroll_tpu/xla")
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from diffroll_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache(min_compile_time_secs=5)
 
     # parse [shape, overrides...] groups
     jobs = []

@@ -82,9 +82,8 @@ def main():
     from diffroll_tpu.serve import TranscriptionService
     from diffroll_tpu.tasks import DiffusionTask, TaskConfig
 
-    cache = os.path.expanduser("~/.cache/diffroll_tpu/xla")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
+    from diffroll_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
 
     max_batch = int(ARGS.get("batch", "8"))
     n_requests = int(ARGS.get("requests", "32"))

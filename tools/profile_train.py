@@ -58,9 +58,8 @@ def scan_time(body, carry, xs, label, results, iters=3):
 
 def main():
     import os
-    path = os.path.expanduser("~/.cache/diffroll_tpu/xla")
-    os.makedirs(path, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", path)
+    from diffroll_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
     results = {}
     dtypes = ARGS.get("dtypes", "bfloat16").split(",")
     for dtype in dtypes:
