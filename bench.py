@@ -403,8 +403,13 @@ def bench_serve(extras, ctx):
     clip = rng.randn(seq).astype(np.float32) * 0.1
 
     def soak(tag, task, n_requests, n_threads, max_batch):
+        # the shipped serving config (ServeConfig defaults): depth-2
+        # pipeline + int16 waveform transfer — the r5 decomposition
+        # (results/serve_profile_r5/) measured p50 2.94 s serialized ->
+        # 1.53 s with these, the residual being tunnel H2D/D2H bandwidth
         svc = TranscriptionService(task, params, max_batch=max_batch,
-                                   max_wait_ms=25.0, overlap_frames=32)
+                                   max_wait_ms=25.0, overlap_frames=32,
+                                   transfer_dtype="int16")
         svc.warmup()
         latencies = []
         lock = threading.Lock()

@@ -72,6 +72,7 @@ def main(argv: Optional[List[str]] = None):
         overlap_frames=sv.overlap_frames, max_body_mb=sv.max_body_mb,
         frame_threshold=_common.task_threshold(cfg),
         seed=cfg.trainer.seed, mesh=mesh,
+        transfer_dtype=sv.transfer, pipeline_depth=sv.pipeline_depth,
     )
     print("compiling sampler program...", file=sys.stderr)
     service.warmup()

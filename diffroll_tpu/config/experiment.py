@@ -121,6 +121,12 @@ class ServeConfig:
     max_wait_ms: float = 25.0     # micro-batching window after first job
     overlap_frames: int = 32      # window overlap for stitching
     max_body_mb: float = 64.0     # request-body cap (HTTP 413 above)
+    # waveform H2D dtype: int16 halves the dominant per-batch transfer
+    # (serve p50 1.758 -> 1.526 s, +28% throughput on the tunnel —
+    # results/serve_profile_r5/), is clipped+dequantized in-jit, and is
+    # bit-faithful for PCM16-sourced audio; float32 for exact f32 inputs.
+    transfer: str = "int16"
+    pipeline_depth: int = 2       # batches in flight (1 = serialized)
     # persistent XLA compilation cache: the full-size sampler compile can
     # take 5-13 min over a device tunnel; a warm restart with the cache
     # reloads it in seconds. "" disables.

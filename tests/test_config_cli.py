@@ -279,6 +279,10 @@ def test_cli_distill_then_eval(maps_tree, tmp_path):
                            info=None, ready=None):
         captured["sampler"] = service.task.config.sampling_type
         captured["steps"] = service.task.config.sampling_steps
+        # ServeConfig's serving defaults must reach the service (r5:
+        # int16 transfer + depth-2 pipeline, results/serve_profile_r5/)
+        captured["transfer"] = service.transfer_dtype
+        captured["depth"] = service.pipeline_depth
         service.close()
 
     orig = serve_pkg.serve_forever
@@ -287,7 +291,8 @@ def test_cli_distill_then_eval(maps_tree, tmp_path):
         serve_cli.main([f"pretrained_path={stage_ckpts[0]}"])
     finally:
         serve_pkg.serve_forever = orig
-    assert captured == {"sampler": "ddim_x0", "steps": 2}
+    assert captured == {"sampler": "ddim_x0", "steps": 2,
+                        "transfer": "int16", "depth": 2}
 
 
 def test_cli_baseline_task(maps_tree, tmp_path):
