@@ -26,6 +26,7 @@ from typing import List, Optional
 import jax
 
 from ..config import from_argv
+from ..data.pipeline import device_prefetch
 from ..train import Checkpointer, TrainState, make_optimizer
 from ..train.distill import progressive_distill
 from ..parallel.mesh import shard_params
@@ -64,8 +65,15 @@ def main(argv: Optional[List[str]] = None):
     run_dir = _common.make_run_dir(cfg, "distill")
     print(f"run dir: {run_dir}", file=sys.stderr)
 
+    # same H2D path as the train loop (train/loop.py): keep 2 batches in
+    # flight on the device, optionally packed (int16 audio / uint8 rolls,
+    # ~2.2x fewer bytes over a bandwidth-limited link) — the distill
+    # loss_fn unpacks in-jit
+    feed = device_prefetch(batches(), mesh=mesh, size=2,
+                           pack=(cfg.dataloader.transfer == "packed"))
+
     students = progressive_distill(
-        model, task.schedule, params, batches(),
+        model, task.schedule, params, feed,
         timesteps=cfg.task.timesteps, config=cfg.distill, mesh=mesh,
         log=lambda msg: print(msg, file=sys.stderr),
     )

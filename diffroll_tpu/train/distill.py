@@ -80,6 +80,12 @@ def make_distill_loss(
 
     def loss_fn(params, batch, key, train: bool = True):
         del train
+        # batches may arrive packed for the H2D transfer (int16 audio /
+        # uint8 rolls, data/pipeline.pack_batch) — same contract as the
+        # supervised loss (tasks/diffusion.py); unpack is a no-op on f32
+        from ..data.pipeline import unpack_batch
+
+        batch = unpack_batch(batch)
         roll = model.normalize_roll(batch["frame"])
         bsz = roll.shape[0]
         cond = conditioner(batch)

@@ -190,3 +190,32 @@ def test_progressive_chain_runs(tiny_setup):
     for n, p in out.items():
         leaves = jax.tree_util.tree_leaves(p)
         assert all(np.all(np.isfinite(x)) for x in leaves)
+
+
+def test_distill_loss_packed_batch_parity(tiny_setup):
+    """The distill loss accepts packed H2D batches (int16 audio / uint8
+    rolls, data/pipeline.pack_batch) and unpacks in-jit — bit-identical
+    loss on audio that sits on the int16 PCM grid (the decode precision,
+    io/wav._pcm_to_float). Mirrors the supervised-loss contract
+    (tests/test_pipeline.py); cli/distill wires this via device_prefetch
+    when dataloader.transfer=packed."""
+    from diffroll_tpu.data.pipeline import pack_batch
+
+    model, params, _ = tiny_setup
+    rng = np.random.RandomState(11)
+    pcm = rng.randint(-32768, 32768, size=(4, 16 * 512)).astype(np.float32)
+    batch = {
+        "frame": (rng.rand(4, 16, 88) > 0.9).astype(np.float32),
+        "audio": pcm / 32768.0,
+    }
+    grid, mid = distill_grids(T, 9)
+    loss_fn = make_distill_loss(model, SCHED, params, grid, mid,
+                                guided=False, w=0.0)
+    key = jax.random.key(5)
+    lf = jax.jit(lambda b: loss_fn(params, b, key)[0])
+    loss_f32 = float(lf({k: jnp.asarray(v) for k, v in batch.items()}))
+    packed = pack_batch(batch)
+    assert packed["audio"].dtype == np.int16
+    assert packed["frame"].dtype == np.uint8
+    loss_packed = float(lf({k: jnp.asarray(v) for k, v in packed.items()}))
+    assert loss_packed == loss_f32, (loss_packed, loss_f32)
